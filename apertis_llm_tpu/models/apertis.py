@@ -1,0 +1,589 @@
+"""Apertis decoder-only LM — functional forward passes.
+
+TPU-native redesign of the reference model (reference: src/model/core.py):
+  * parameters are stacked per-layer pytrees; depth is traversed with
+    ``lax.scan`` (one compiled layer body regardless of depth),
+  * the decode path uses preallocated static-shape caches — KV ring for
+    standard MHA, (conv window, ssm state) for the selective mixer — so the
+    whole autoregressive loop stays inside one compiled program,
+  * everything is a pure function of (params, inputs, rng); dropout is driven
+    by explicit PRNG keys and a ``training`` flag.
+
+Architecture semantics match the reference exactly in eval mode (see
+tests/test_parity.py): pre-norm residual attention (MHA with full-width
+interleaved RoPE, or Mamba-style selective SSM), pre-norm residual FFN
+(dense / SwiGLU / adaptive-expert MoE), final post-norm, tied LM head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.ops import attention as attn_ops
+from apertis_llm_tpu.ops import moe as moe_ops
+from apertis_llm_tpu.ops import ssm as ssm_ops
+from apertis_llm_tpu.ops.activations import get_activation, silu
+from apertis_llm_tpu.ops.norms import layer_norm, rms_norm
+from apertis_llm_tpu.ops.rope import apply_rope, rope_tables
+
+Params = Dict[str, Any]
+
+
+class LMOutput(NamedTuple):
+    loss: Optional[jnp.ndarray]
+    logits: jnp.ndarray
+    lb_loss: jnp.ndarray
+    rz_loss: jnp.ndarray
+    attentions: Optional[jnp.ndarray] = None  # (num_layers, B, H, L, L) when requested
+
+
+class PrefillOutput(NamedTuple):
+    logits: jnp.ndarray          # (B, L_text, V) logits over the text positions
+    cache: Params
+    length: jnp.ndarray          # scalar int32: tokens written to the cache
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    if "scale" in p:
+        return rms_norm(x, p["scale"], eps=eps)
+    return layer_norm(x, p["w"], p["b"], eps=eps)
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:
+    if not training or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention sublayer (full-sequence)
+# ---------------------------------------------------------------------------
+
+def _mha_full(
+    lp: Params,
+    config: ApertisConfig,
+    x: jnp.ndarray,                  # (B, L, D) pre-normed
+    bias: Optional[jnp.ndarray],     # additive mask or None (-> causal)
+    pos_ids: jnp.ndarray,            # (B, L)
+    cos_t: jnp.ndarray,
+    sin_t: jnp.ndarray,
+    *,
+    training: bool,
+    rng: Optional[jax.Array],
+    want_cache: bool,
+    want_probs: bool,
+):
+    b, l, d = x.shape
+    heads, head_dim = config.num_attention_heads, config.head_dim
+    q = _linear(lp["q"], x)
+    k = _linear(lp["k"], x)
+    v = _linear(lp["v"], x)
+    if config.position_embedding_type == "rotary":
+        # Reference quirk: RoPE over the full hidden width, pre head-split.
+        q = apply_rope(q, pos_ids, cos_t, sin_t)
+        k = apply_rope(k, pos_ids, cos_t, sin_t)
+
+    def split_heads(t):
+        return t.reshape(b, l, heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+    probs = None
+    if want_probs:
+        ctx, probs = attn_ops.mha_with_probs(qh, kh, vh, bias=bias, causal=True)
+    else:
+        ctx = attn_ops.mha(qh, kh, vh, bias=bias, causal=True)
+    if training and config.attention_probs_dropout_prob > 0 and rng is not None:
+        # Matching reference semantics exactly would require dropping
+        # attention probabilities; dropping the context is the fused-kernel
+        # equivalent used here (same expected value).
+        ctx = _dropout(rng, ctx, config.attention_probs_dropout_prob, training)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = _linear(lp["o"], ctx)
+    cache = None
+    if want_cache:
+        cache = {"k": kh, "v": vh}  # (B, H, L, Dh)
+    return out, cache, probs
+
+
+def _ssm_compute_params(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
+    """Shared SSM parameterisation: x_act (..., d_inner) ->
+    (a_bar, b_term, c_mod) each (..., H, N) with delta in float32."""
+    heads, d_state = config.num_attention_heads, config.ssm_d_state
+    dt_rank = config.ssm_dt_rank
+    raw = _linear(lp["x_param_proj"], x_act)
+    dt_feats = raw[..., :dt_rank]
+    b_raw = raw[..., dt_rank:dt_rank + heads * d_state]
+    c_raw = raw[..., dt_rank + heads * d_state:]
+    delta = jax.nn.softplus(_linear(lp["dt_proj"], dt_feats).astype(jnp.float32))
+    a_cont = -jnp.exp(lp["A_log"].astype(jnp.float32))              # (H, N)
+    a_bar = jnp.exp(delta[..., None] * a_cont)                       # (..., H, N)
+    shape = x_act.shape[:-1] + (heads, d_state)
+    return a_bar, b_raw.reshape(shape), c_raw.reshape(shape)
+
+
+def _ssm_full(
+    lp: Params,
+    config: ApertisConfig,
+    x: jnp.ndarray,  # (B, L, D) pre-normed
+    *,
+    want_cache: bool,
+):
+    b, l, _ = x.shape
+    d_inner = config.ssm_d_inner
+    k = config.ssm_conv_kernel
+
+    x_proj = _linear(lp["in_proj_x"], x)                  # (B, L, d_inner)
+    z = _linear(lp["in_proj_z"], x)
+    x_conv = ssm_ops.depthwise_causal_conv(x_proj, lp["conv"]["w"], lp["conv"]["b"])
+    x_act = silu(x_conv)
+
+    a_bar, b_term, c_mod = _ssm_compute_params(lp, config, x_act)  # (B, L, H, N)
+    a_bar = a_bar.transpose(0, 2, 1, 3)                   # (B, H, L, N)
+    b_term = b_term.transpose(0, 2, 1, 3)
+    c_mod = c_mod.transpose(0, 2, 1, 3)
+
+    h, h_last = ssm_ops.selective_scan(a_bar, b_term.astype(a_bar.dtype))
+    y = (c_mod.astype(h.dtype) * h).astype(x.dtype)       # (B, H, L, N)
+    y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
+    y = y + lp["D"] * x_act
+    out = _linear(lp["out_proj"], y * silu(z))
+
+    cache = None
+    if want_cache:
+        # Conv window carries the last K-1 *pre-conv* projected inputs
+        # (reference: core.py:372); SSM state is the final recurrence carry.
+        pad = jnp.pad(x_proj, ((0, 0), (k - 1, 0), (0, 0)))
+        cache = {"conv": pad[:, -(k - 1):, :] if k > 1 else
+                 jnp.zeros((b, 0, d_inner), x.dtype),
+                 "ssm": h_last.astype(jnp.float32)}
+    return out, cache
+
+
+# ---------------------------------------------------------------------------
+# FFN sublayer
+# ---------------------------------------------------------------------------
+
+def _ffn(
+    lp: Params,
+    config: ApertisConfig,
+    x: jnp.ndarray,  # (B, L, D) pre-normed
+    *,
+    training: bool,
+    rng: Optional[jax.Array],
+):
+    eps = config.layer_norm_eps
+    zero = jnp.zeros((), jnp.float32)
+    if config.use_swiglu:
+        h = silu(_linear(lp["w_gate"], x)) * _linear(lp["w_up"], x)
+        out = _linear(lp["w_down"], h)
+        out = _dropout(rng, out, config.hidden_dropout_prob, training)
+        return out, zero, zero
+    if config.use_expert_system and config.num_experts > 0:
+        b, l, d = x.shape
+        flat = x.reshape(b * l, d)
+        noise_rng = drop_rng = None
+        if training and rng is not None:
+            noise_rng, drop_rng = jax.random.split(rng)
+        routing = moe_ops.route(
+            flat,
+            lp["router_ln"]["w"], lp["router_ln"]["b"],
+            lp["router"]["w"], lp["router"]["b"],
+            config.experts_per_token,
+            layer_norm_eps=eps,
+            training=training,
+            noise_rng=noise_rng,
+            w_noise=lp.get("w_noise"),
+            noisy_routing_alpha=config.noisy_routing_alpha,
+            load_balancing_loss_coef=config.load_balancing_loss_coef,
+            router_z_loss_coef=config.router_z_loss_coef,
+            use_load_balancing_loss=config.use_load_balancing_loss,
+            use_router_z_loss=config.use_router_z_loss,
+        )
+        active = None
+        if (training and config.use_expert_dropout
+                and config.expert_dropout_prob > 0 and drop_rng is not None):
+            active = moe_ops.expert_dropout_mask(
+                drop_rng, config.num_experts, config.expert_dropout_prob)
+        if training and config.use_expert_capacity_limit:
+            s = b * l
+            capacity = max(1, int((s / config.num_experts) * config.expert_capacity_factor))
+            out = moe_ops.moe_dispatch(
+                flat, routing, lp["experts"], config.hidden_act, eps,
+                capacity=capacity, active_mask=active)
+        else:
+            out = moe_ops.moe_dense(
+                flat, routing, lp["experts"], config.hidden_act, eps,
+                active_mask=active)
+        return out.reshape(b, l, d), routing.lb_loss, routing.rz_loss
+    # dense FFN: Linear -> act -> Dropout -> Linear
+    act = get_activation(config.hidden_act)
+    h = act(_linear(lp["w1"], x))
+    h = _dropout(rng, h, config.hidden_dropout_prob, training)
+    return _linear(lp["w2"], h), zero, zero
+
+
+# ---------------------------------------------------------------------------
+# one decoder layer (full sequence)
+# ---------------------------------------------------------------------------
+
+def _layer_full(
+    lp: Params,
+    config: ApertisConfig,
+    h: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    pos_ids: jnp.ndarray,
+    cos_t: jnp.ndarray,
+    sin_t: jnp.ndarray,
+    *,
+    training: bool,
+    rng: Optional[jax.Array],
+    want_cache: bool,
+    want_probs: bool = False,
+):
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    eps = config.layer_norm_eps
+
+    normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
+    if config.attention_type == "selective_ssm":
+        attn_out, cache = _ssm_full(lp["attn"], config, normed, want_cache=want_cache)
+        probs = None
+    else:
+        attn_out, cache, probs = _mha_full(
+            lp["attn"], config, normed, bias, pos_ids, cos_t, sin_t,
+            training=training, rng=rngs[0], want_cache=want_cache,
+            want_probs=want_probs)
+    h = h + _dropout(rngs[1], attn_out, config.hidden_dropout_prob, training)
+
+    normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
+    ffn_out, lb, rz = _ffn(lp["ffn"], config, normed, training=training, rng=rngs[2])
+    h = h + _dropout(rngs[3], ffn_out, config.hidden_dropout_prob, training)
+    return h, cache, lb, rz, probs
+
+
+# ---------------------------------------------------------------------------
+# input assembly (embeddings + multimodal prefix)
+# ---------------------------------------------------------------------------
+
+def assemble_inputs(
+    params: Params,
+    config: ApertisConfig,
+    input_ids: jnp.ndarray,                   # (B, L_text)
+    attention_mask: Optional[jnp.ndarray],    # (B, L_text) 1/0
+    position_ids: Optional[jnp.ndarray],      # (B, L_text)
+    pixel_values: Optional[jnp.ndarray],      # (B, 3, S, S)
+):
+    """Token embeddings + optional image prefix; returns
+    (embeds, pos_ids, attention_mask, num_img_tokens)."""
+    from apertis_llm_tpu.models.vit import vit_encode
+
+    b, l = input_ids.shape
+    embeds = jnp.take(params["embed"]["tok"], input_ids, axis=0)
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :], (b, l))
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, l), jnp.int32)
+
+    num_img = 0
+    if config.multimodal and pixel_values is not None:
+        img = vit_encode(params["vision"], config, pixel_values)
+        if "vision_proj" in params:
+            img = _linear(params["vision_proj"], img)
+        img = img.astype(embeds.dtype)
+        num_img = img.shape[1]
+        embeds = jnp.concatenate([img, embeds], axis=1)
+        img_pos = jnp.broadcast_to(
+            jnp.arange(num_img, dtype=jnp.int32)[None, :], (b, num_img))
+        position_ids = jnp.concatenate([img_pos, position_ids + num_img], axis=1)
+        attention_mask = jnp.concatenate(
+            [jnp.ones((b, num_img), attention_mask.dtype), attention_mask], axis=1)
+
+    if config.position_embedding_type == "absolute" and "abs_pos" in params:
+        embeds = embeds + jnp.take(params["abs_pos"]["emb"], position_ids, axis=0)
+    return embeds, position_ids, attention_mask, num_img
+
+
+def _build_bias(attention_mask: jnp.ndarray, q_len: int, past_len: int,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """Combined causal x padding additive bias (B, 1, q_len, kv_len)
+    (reference: core.py:1088-1139)."""
+    kv_len = past_len + q_len
+    causal = attn_ops.causal_mask_bias(q_len, kv_len, dtype)[None, None]
+    padding = jnp.where(attention_mask[:, None, None, :kv_len] > 0, 0.0, attn_ops.NEG_INF)
+    return causal + padding.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward (training / eval / parity)
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    config: ApertisConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    pixel_values: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    output_attentions: bool = False,
+) -> LMOutput:
+    """Full-sequence forward; returns logits over the TEXT positions (the
+    image prefix is sliced off, reference: core.py:1399-1408) and, when
+    ``labels`` given, shifted-CE loss + MoE aux losses."""
+    l_text = input_ids.shape[1]
+    embeds, pos_ids, attention_mask, num_img = assemble_inputs(
+        params, config, input_ids, attention_mask, position_ids, pixel_values)
+
+    has_padding = jnp.any(attention_mask == 0)
+    # Static decision would be better; keep dynamic-safe: always build the
+    # combined bias (it reduces to pure causal when there is no padding).
+    bias = _build_bias(attention_mask, embeds.shape[1], 0, jnp.float32)
+
+    rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
+    h = _dropout(rngs[0], embeds, config.hidden_dropout_prob, training)
+
+    cos_t, sin_t = rope_tables(
+        config.hidden_size, config.max_position_embeddings, config.rope_theta)
+
+    num_layers = config.num_hidden_layers
+
+    def body(carry, xs):
+        h, lb_acc, rz_acc = carry
+        lp, idx = xs
+        layer_rng = (jax.random.fold_in(rngs[1], idx)
+                     if rngs[1] is not None else None)
+        h, _, lb, rz, probs = _layer_full(
+            lp, config, h, bias, pos_ids, cos_t, sin_t,
+            training=training, rng=layer_rng, want_cache=False,
+            want_probs=output_attentions)
+        return (h, lb_acc + lb, rz_acc + rz), probs
+
+    zero = jnp.zeros((), jnp.float32)
+    if config.remat and training:
+        body = jax.checkpoint(body)
+    (h, lb_loss, rz_loss), all_probs = jax.lax.scan(
+        body, (h, zero, zero),
+        (params["layers"], jnp.arange(num_layers)))
+
+    h = _apply_norm(params["final_norm"], h, config.layer_norm_eps)
+
+    if num_img > 0:
+        h_text = h[:, num_img:, :]
+    else:
+        h_text = h
+    logits = _lm_head(params, h_text)
+
+    loss = None
+    if labels is not None:
+        loss = cross_entropy_loss(logits, labels, ignore_index=-100)
+        if config.use_expert_system:
+            loss = loss + lb_loss + rz_loss
+    del has_padding, l_text
+    return LMOutput(loss, logits, lb_loss, rz_loss,
+                    all_probs if output_attentions else None)
+
+
+def _lm_head(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    if "lm_head" in params:
+        return _linear(params["lm_head"], h)
+    return h @ params["embed"]["tok"].T
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100
+) -> jnp.ndarray:
+    """Shifted next-token CE with ignore_index masking
+    (reference: core.py:1414-1451)."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    log_probs = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / count
+
+
+# ---------------------------------------------------------------------------
+# decode: cache init / prefill / single step
+# ---------------------------------------------------------------------------
+
+def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int] = None,
+               dtype=None) -> Params:
+    """Preallocate the static-shape decode cache (stacked over layers)."""
+    if max_length is None:
+        max_length = config.decode_max_length
+    if dtype is None:
+        dtype = jnp.dtype(config.dtype)
+    nl = config.num_hidden_layers
+    if config.attention_type == "selective_ssm":
+        return {
+            "conv": jnp.zeros(
+                (nl, batch_size, max(config.ssm_conv_kernel - 1, 0), config.ssm_d_inner),
+                dtype),
+            "ssm": jnp.zeros(
+                (nl, batch_size, config.num_attention_heads, config.ssm_d_state),
+                jnp.float32),
+        }
+    heads, head_dim = config.num_attention_heads, config.head_dim
+    return {
+        "k": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
+        "v": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
+    }
+
+
+def prefill(
+    params: Params,
+    config: ApertisConfig,
+    cache: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    pixel_values: Optional[jnp.ndarray] = None,
+) -> PrefillOutput:
+    """Run the prompt through the model, filling the decode cache."""
+    embeds, pos_ids, attention_mask, num_img = assemble_inputs(
+        params, config, input_ids, attention_mask, position_ids, pixel_values)
+    l_total = embeds.shape[1]
+    bias = _build_bias(attention_mask, l_total, 0, jnp.float32)
+    cos_t, sin_t = rope_tables(
+        config.hidden_size, config.max_position_embeddings, config.rope_theta)
+
+    def body(h, xs):
+        lp, idx = xs
+        h, layer_cache, _, _, _ = _layer_full(
+            lp, config, h, bias, pos_ids, cos_t, sin_t,
+            training=False, rng=None, want_cache=True)
+        return h, layer_cache
+
+    h, stacked_cache = jax.lax.scan(
+        body, embeds, (params["layers"], jnp.arange(config.num_hidden_layers)))
+    h = _apply_norm(params["final_norm"], h, config.layer_norm_eps)
+    logits = _lm_head(params, h[:, num_img:, :] if num_img > 0 else h)
+
+    if config.attention_type == "selective_ssm":
+        new_cache = {"conv": stacked_cache["conv"], "ssm": stacked_cache["ssm"]}
+    else:
+        max_len = cache["k"].shape[3]
+        # stacked (nl, B, H, L, Dh) -> write into preallocated ring at [0:L]
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], stacked_cache["k"].astype(cache["k"].dtype),
+                (0, 0, 0, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], stacked_cache["v"].astype(cache["v"].dtype),
+                (0, 0, 0, 0, 0)),
+        }
+        del max_len
+    return PrefillOutput(logits, new_cache, jnp.asarray(l_total, jnp.int32))
+
+
+def decode_step(
+    params: Params,
+    config: ApertisConfig,
+    cache: Params,
+    token_ids: jnp.ndarray,     # (B,) current tokens
+    t: jnp.ndarray,             # scalar int32: tokens already in cache
+    attn_mask_row: Optional[jnp.ndarray] = None,  # (B, Lmax) validity incl. new token
+) -> Tuple[jnp.ndarray, Params]:
+    """One autoregressive step: returns (logits (B, V), updated cache)."""
+    b = token_ids.shape[0]
+    h = jnp.take(params["embed"]["tok"], token_ids, axis=0)[:, None, :]  # (B,1,D)
+    pos = jnp.full((b, 1), t, jnp.int32)
+    if config.position_embedding_type == "absolute" and "abs_pos" in params:
+        h = h + jnp.take(params["abs_pos"]["emb"], pos, axis=0)
+
+    cos_t, sin_t = rope_tables(
+        config.hidden_size, config.max_position_embeddings, config.rope_theta)
+    eps = config.layer_norm_eps
+    is_ssm = config.attention_type == "selective_ssm"
+
+    if not is_ssm:
+        max_len = cache["k"].shape[3]
+        if attn_mask_row is None:
+            valid = jnp.arange(max_len)[None, :] <= t
+            valid = jnp.broadcast_to(valid, (b, max_len))
+        else:
+            valid = attn_mask_row > 0
+
+    def body(h, xs):
+        lp, layer_cache = xs
+        normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
+        if is_ssm:
+            attn_out, new_layer_cache = _ssm_decode_step(
+                lp["attn"], config, normed[:, 0, :], layer_cache)
+            attn_out = attn_out[:, None, :]
+        else:
+            attn_out, new_layer_cache = _mha_decode_step(
+                lp["attn"], config, normed, layer_cache, pos, valid,
+                cos_t, sin_t, t)
+        h = h + attn_out
+        normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
+        ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False, rng=None)
+        h = h + ffn_out
+        return h, new_layer_cache
+
+    h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
+    h = _apply_norm(params["final_norm"], h, eps)
+    logits = _lm_head(params, h)[:, 0, :]
+    return logits, new_cache
+
+
+def _mha_decode_step(lp, config, x, layer_cache, pos, valid, cos_t, sin_t, t):
+    b = x.shape[0]
+    heads, head_dim = config.num_attention_heads, config.head_dim
+    q = _linear(lp["q"], x)
+    k = _linear(lp["k"], x)
+    v = _linear(lp["v"], x)
+    if config.position_embedding_type == "rotary":
+        q = apply_rope(q, pos, cos_t, sin_t)
+        k = apply_rope(k, pos, cos_t, sin_t)
+
+    def split_heads(z):
+        return z.reshape(b, 1, heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+    k_cache = jax.lax.dynamic_update_slice(
+        layer_cache["k"], kh.astype(layer_cache["k"].dtype), (0, 0, t, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        layer_cache["v"], vh.astype(layer_cache["v"].dtype), (0, 0, t, 0))
+    ctx = attn_ops.decode_attention(qh, k_cache, v_cache, valid)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, heads * head_dim)
+    return _linear(lp["o"], ctx), {"k": k_cache, "v": v_cache}
+
+
+def _ssm_decode_step(lp, config, x, layer_cache):
+    """Single-token selective-SSM update carrying (conv window, ssm state)."""
+    b = x.shape[0]
+    d_inner = config.ssm_d_inner
+    x_proj = _linear(lp["in_proj_x"], x)             # (B, d_inner)
+    z = _linear(lp["in_proj_z"], x)
+    y_conv, new_conv = ssm_ops.depthwise_conv_step(
+        layer_cache["conv"], x_proj, lp["conv"]["w"], lp["conv"]["b"])
+    x_act = silu(y_conv)
+    a_bar, b_term, c_mod = _ssm_compute_params(lp, config, x_act)  # (B, H, N)
+    h_new = ssm_ops.selective_scan_step(
+        layer_cache["ssm"], a_bar, b_term.astype(jnp.float32))
+    y = (c_mod.astype(jnp.float32) * h_new).reshape(b, d_inner).astype(x.dtype)
+    y = y + lp["D"] * x_act
+    out = _linear(lp["out_proj"], y * silu(z))
+    return out, {"conv": new_conv.astype(layer_cache["conv"].dtype), "ssm": h_new}

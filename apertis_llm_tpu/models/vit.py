@@ -1,0 +1,97 @@
+"""Unified multimodal encoder: a ViT over image patches, fully in-graph.
+
+Functional reimplementation of the reference UnifiedMultimodalEncoder
+(reference: src/multimodal/module.py:10-119): Conv2d patch embed -> CLS token
+-> learned position embeddings -> N pre-norm transformer layers (GELU, 4x FFN)
+-> final LayerNorm. Transformer-layer math matches
+``torch.nn.TransformerEncoderLayer(norm_first=True)`` in eval mode (LN eps
+1e-5, packed qkv projection, exact GELU).
+
+The patch embedding is expressed as a single reshape + matmul (one big MXU
+op) rather than a convolution, and image resize/normalisation are also
+in-graph so the whole image path compiles into one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.ops.activations import gelu
+from apertis_llm_tpu.ops.norms import layer_norm
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+_VIT_LN_EPS = 1e-5  # torch TransformerEncoderLayer default
+
+
+def preprocess_images(images: jnp.ndarray, image_size: int) -> jnp.ndarray:
+    """Resize + ImageNet-normalise a batch of images, in-graph.
+
+    Accepts (B, H, W, 3) uint8/float in [0, 255] or [0, 1]; returns
+    channels-first (B, 3, S, S) float32 matching torchvision's
+    Resize -> ToTensor -> Normalize pipeline (module.py:27-31).
+    """
+    x = images.astype(jnp.float32)
+    x = jnp.where(jnp.max(x) > 1.5, x / 255.0, x)
+    x = jax.image.resize(
+        x, (x.shape[0], image_size, image_size, x.shape[-1]), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    x = (x - mean) / std
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]          # (B, L, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    return out @ lp["attn_out"]["w"] + lp["attn_out"]["b"]
+
+
+def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
+    # Pre-norm residual blocks (norm_first=True).
+    h = layer_norm(x, lp["ln1"]["w"], lp["ln1"]["b"], eps=_VIT_LN_EPS)
+    x = x + _vit_attention(h, lp, num_heads)
+    h = layer_norm(x, lp["ln2"]["w"], lp["ln2"]["b"], eps=_VIT_LN_EPS)
+    h = gelu(h @ lp["linear1"]["w"] + lp["linear1"]["b"])
+    h = h @ lp["linear2"]["w"] + lp["linear2"]["b"]
+    return x + h
+
+
+def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """Encode (B, 3, S, S) pixels into (B, num_patches + 1, vision_embed_dim)."""
+    b = pixel_values.shape[0]
+    p = config.vision_patch_size
+    sp = config.image_size // p
+
+    # Patch extraction as reshape: (B,3,S,S) -> (B, Np, 3*P*P) in (c, dy, dx)
+    # order, matching Conv2d(kernel=P, stride=P) weight flattening.
+    x = pixel_values.reshape(b, 3, sp, p, sp, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, sp * sp, 3 * p * p)
+    x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
+
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1])).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"]
+
+    def body(h, lp):
+        return _vit_layer(h, lp, config.vision_heads), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                      eps=_VIT_LN_EPS)

@@ -1,0 +1,207 @@
+"""Adaptive Expert System (token-choice top-k MoE) — TPU-native.
+
+Replaces the reference's Python double loop over (k_choice x expert) with
+static-shape dispatch (reference: src/model/core.py:470-607). Two compute
+paths share one routing front-end:
+
+  * :func:`moe_dense` — every expert runs on every token, combined by routing
+    weights. Exact (bit-for-bit up to fp reassociation) match of the reference
+    eval path, and actually optimal when S is small (decode) since there is no
+    gather/scatter. E x FLOPs for large S.
+  * :func:`moe_dispatch` — Switch-style capacity-bucketed dispatch: cumsum
+    position assignment, scatter into (E, C, H) buckets, batched expert
+    matmuls on the MXU, gather-combine. Used for training and large prefill.
+
+Routing semantics preserved from the reference:
+  * router LayerNorm -> linear -> float32 logits (core.py:481-482)
+  * learnable noisy top-k: logits += N(0,1) * softplus(w_noise) * alpha,
+    training only (core.py:485-488)
+  * load-balancing loss  coef * E * sum(f_i * P_i)  computed PRE-capacity
+    (core.py:499-505)
+  * router z-loss  coef * mean(logsumexp(logits)^2)  (core.py:523-526)
+  * top-k weights renormalised by their sum + 1e-6 (core.py:529)
+  * whole-expert dropout, training only (core.py:513-521)
+  * capacity floor(S/E * capacity_factor), training only (core.py:507-511)
+
+Deviation (documented, SURVEY.md §7.4): overflow drop order. The reference
+drops greedily per (k, expert) pair ordered by gate weight; here overflow is
+resolved in flattened (k-major, token-order) priority, which is deterministic
+and static-shape. Loss values are unaffected (computed pre-capacity); eval is
+exactly equal (capacity only applies in training).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.ops.activations import get_activation
+from apertis_llm_tpu.ops.norms import layer_norm
+
+
+class RouterOutput(NamedTuple):
+    weights: jnp.ndarray       # (S, K) renormalised combine weights
+    indices: jnp.ndarray       # (S, K) expert ids
+    lb_loss: jnp.ndarray       # scalar
+    rz_loss: jnp.ndarray       # scalar
+
+
+def route(
+    x: jnp.ndarray,            # (S, H)
+    router_ln_w: jnp.ndarray,
+    router_ln_b: jnp.ndarray,
+    router_w: jnp.ndarray,     # (H, E)
+    router_b: jnp.ndarray,     # (E,)
+    top_k: int,
+    *,
+    layer_norm_eps: float,
+    training: bool = False,
+    noise_rng: Optional[jax.Array] = None,
+    w_noise: Optional[jnp.ndarray] = None,
+    noisy_routing_alpha: float = 0.0,
+    load_balancing_loss_coef: float = 0.0,
+    router_z_loss_coef: float = 0.0,
+    use_load_balancing_loss: bool = True,
+    use_router_z_loss: bool = True,
+) -> RouterOutput:
+    num_experts = router_w.shape[-1]
+    normed = layer_norm(x, router_ln_w, router_ln_b, eps=layer_norm_eps)
+    logits = (normed.astype(jnp.float32) @ router_w.astype(jnp.float32)
+              + router_b.astype(jnp.float32))
+
+    if training and w_noise is not None and noise_rng is not None and noisy_routing_alpha > 0:
+        noise_scale = jax.nn.softplus(w_noise.astype(jnp.float32)) * noisy_routing_alpha
+        logits = logits + jax.random.normal(noise_rng, logits.shape) * noise_scale[None, :]
+
+    gates = jax.nn.softmax(logits, axis=-1)                     # (S, E)
+    top_w, top_i = jax.lax.top_k(gates, top_k)                  # (S, K)
+
+    lb_loss = jnp.zeros((), jnp.float32)
+    if training and use_load_balancing_loss and load_balancing_loss_coef > 0:
+        p_i = jnp.mean(gates, axis=0)
+        sel = jnp.sum(jax.nn.one_hot(top_i, num_experts, dtype=jnp.float32), axis=1)
+        sel = jnp.minimum(sel, 1.0)  # 1 iff expert in token's top-k
+        f_i = jnp.mean(sel, axis=0)
+        lb_loss = load_balancing_loss_coef * num_experts * jnp.sum(f_i * p_i)
+
+    rz_loss = jnp.zeros((), jnp.float32)
+    if training and use_router_z_loss and router_z_loss_coef > 0:
+        log_z = jax.nn.logsumexp(logits, axis=-1)
+        rz_loss = router_z_loss_coef * jnp.mean(jnp.square(log_z))
+
+    weights = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-6)
+    return RouterOutput(weights, top_i, lb_loss, rz_loss)
+
+
+def _expert_mlp(
+    x: jnp.ndarray,            # (..., H) tokens already grouped per expert
+    ln_w: jnp.ndarray, ln_b: jnp.ndarray,       # (H,)
+    w1: jnp.ndarray, b1: jnp.ndarray,           # (H, I), (I,)
+    w2: jnp.ndarray, b2: jnp.ndarray,           # (I, H), (H,)
+    act_fn,
+    layer_norm_eps: float,
+) -> jnp.ndarray:
+    h = layer_norm(x, ln_w, ln_b, eps=layer_norm_eps)
+    h = act_fn(h @ w1 + b1)
+    return h @ w2 + b2
+
+
+def moe_dense(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,       # stacked: ln_w/ln_b (E,H), w1 (E,H,I), b1 (E,I), w2 (E,I,H), b2 (E,H)
+    hidden_act: str,
+    layer_norm_eps: float,
+    active_mask: Optional[jnp.ndarray] = None,  # (E,) bool
+) -> jnp.ndarray:
+    """Run every expert on every token; combine with routing weights."""
+    num_experts = expert_params["w1"].shape[0]
+    act_fn = get_activation(hidden_act)
+
+    all_out = jax.vmap(
+        lambda lw, lb, w1, b1, w2, b2: _expert_mlp(
+            x, lw, lb, w1, b1, w2, b2, act_fn, layer_norm_eps)
+    )(expert_params["ln_w"], expert_params["ln_b"],
+      expert_params["w1"], expert_params["b1"],
+      expert_params["w2"], expert_params["b2"])          # (E, S, H)
+
+    combine = jnp.zeros((x.shape[0], num_experts), dtype=x.dtype)
+    onehot = jax.nn.one_hot(routing.indices, num_experts, dtype=x.dtype)  # (S, K, E)
+    combine = jnp.einsum("ske,sk->se", onehot, routing.weights.astype(x.dtype)) + combine
+    if active_mask is not None:
+        combine = combine * active_mask.astype(combine.dtype)[None, :]
+    return jnp.einsum("se,esh->sh", combine, all_out)
+
+
+def moe_dispatch(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,
+    hidden_act: str,
+    layer_norm_eps: float,
+    capacity: int,
+    active_mask: Optional[jnp.ndarray] = None,  # (E,) bool
+) -> jnp.ndarray:
+    """Capacity-bucketed static-shape dispatch -> batched expert MLP -> combine.
+
+    Tokens overflowing an expert's capacity contribute zero for that choice
+    (graceful drop, matching the reference's behaviour for over-capacity
+    tokens).
+    """
+    s, h = x.shape
+    num_experts = expert_params["w1"].shape[0]
+    k = routing.indices.shape[1]
+    act_fn = get_activation(hidden_act)
+
+    # Flatten (k-major, token-order) so priority is deterministic.
+    flat_idx = routing.indices.T.reshape(-1)                  # (K*S,)
+    flat_w = routing.weights.T.reshape(-1)                    # (K*S,)
+    onehot = jax.nn.one_hot(flat_idx, num_experts, dtype=jnp.int32)  # (K*S, E)
+    # Position of each (token, choice) within its expert's bucket.
+    pos_in_expert = jnp.cumsum(onehot, axis=0) - onehot        # (K*S, E)
+    pos = jnp.sum(pos_in_expert * onehot, axis=-1)             # (K*S,)
+    keep = pos < capacity
+    if active_mask is not None:
+        keep = keep & active_mask[flat_idx]
+
+    slot = jnp.where(keep, flat_idx * capacity + pos, num_experts * capacity)
+    token = jnp.tile(jnp.arange(s), k)                         # (K*S,)
+
+    # Scatter tokens into buckets; the extra trailing slot absorbs drops.
+    buckets = jnp.zeros((num_experts * capacity + 1, h), dtype=x.dtype)
+    buckets = buckets.at[slot].add(x[token] * keep[:, None].astype(x.dtype))
+    buckets = buckets[:-1].reshape(num_experts, capacity, h)
+
+    out_buckets = jax.vmap(
+        lambda xe, lw, lb, w1, b1, w2, b2: _expert_mlp(
+            xe, lw, lb, w1, b1, w2, b2, act_fn, layer_norm_eps)
+    )(buckets, expert_params["ln_w"], expert_params["ln_b"],
+      expert_params["w1"], expert_params["b1"],
+      expert_params["w2"], expert_params["b2"])                # (E, C, H)
+
+    flat_out = out_buckets.reshape(num_experts * capacity, h)
+    gathered = flat_out[jnp.clip(slot, 0, num_experts * capacity - 1)]
+    gathered = gathered * (flat_w * keep.astype(flat_w.dtype))[:, None].astype(x.dtype)
+
+    out = jnp.zeros_like(x)
+    out = out.at[token].add(gathered)
+    return out
+
+
+def expert_dropout_mask(
+    rng: jax.Array,
+    num_experts: int,
+    expert_dropout_prob: float,
+) -> jnp.ndarray:
+    """Drop whole experts for a step (training only). At least one expert
+    always survives (reference: core.py:513-521)."""
+    num_to_drop = int(num_experts * expert_dropout_prob)
+    if num_to_drop >= num_experts:
+        num_to_drop = num_experts - 1
+    mask = jnp.ones((num_experts,), dtype=bool)
+    if num_to_drop <= 0:
+        return mask
+    perm = jax.random.permutation(rng, num_experts)
+    return mask.at[perm[:num_to_drop]].set(False)

@@ -1,0 +1,40 @@
+"""Normalisation layers (functional).
+
+Parity notes:
+  * RMSNorm follows the reference formulation ``x / (||x||_2 / sqrt(D) + eps)``
+    — the epsilon is added to the RMS value itself, not to the variance
+    (reference: src/model/core.py:30-59).
+  * LayerNorm matches torch.nn.LayerNorm semantics (biased variance, eps under
+    the sqrt) with weight+bias.
+
+Both run in float32 internally and cast back, which keeps bf16 activations
+stable on TPU without a separate mixed-precision wrapper.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # RMS = ||x||_2 / sqrt(D); epsilon added to the RMS, not the variance.
+    rms = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) * (x.shape[-1] ** -0.5)
+    out = xf / (rms + eps) * scale.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    out = out * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(dtype)
