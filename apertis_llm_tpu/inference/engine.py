@@ -1,0 +1,342 @@
+"""Compiled autoregressive generation engine.
+
+The reference's ``generate`` is a Python loop with per-step host round-trips
+(reference: src/model/core.py:1520-1644). Here the ENTIRE generation — prefill,
+decode loop, sampling, stop handling — compiles into one XLA program driven by
+``lax.while_loop``, so per-token cost is one device step with no host sync.
+
+Faithful semantics (eval mode):
+  * finished rows emit ``pad_token_id`` and stop growing the attention mask,
+  * decode position is the scalar "total length so far" for every row
+    (the reference uses ``attention_mask.shape[1] - 1`` for all rows),
+  * repetition penalty counts every filled slot of the running token buffer
+    (prompt included), dividing the logit once per occurrence,
+  * early exit when all rows finished and ``min_new_tokens`` satisfied,
+  * multimodal prompts prepend ``num_image_tokens`` vision tokens to the
+    cache/mask exactly as the reference estimates them (core.py:1562-1572).
+
+Prompts are bucketed to a few static lengths to bound recompilation; each
+(bucket, max_new_tokens, batch, sampling-mode) tuple compiles once and is
+cached on the instance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models import apertis as model_lib
+from apertis_llm_tpu.ops import sampling as sampling_ops
+
+
+class GenerationParams(NamedTuple):
+    """Static sampling knobs (hashable: part of the jit cache key)."""
+    max_new_tokens: int = 20
+    min_new_tokens: int = 0
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    eos_token_ids: Tuple[int, ...] = ()
+    pad_token_id: int = 0
+
+
+def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class GenerateState(NamedTuple):
+    tokens: jnp.ndarray      # (B, buf_len) running buffer (prompt + generated)
+    mask: jnp.ndarray        # (B, cache_len) attention validity (img+prompt+generated)
+    cache: Any
+    t: jnp.ndarray           # scalar int32: filled cache slots
+    filled: jnp.ndarray      # scalar int32: filled token-buffer slots
+    unfinished: jnp.ndarray  # (B,) int32
+    step: jnp.ndarray        # scalar int32
+    rng: jax.Array
+
+
+def _generate_impl(
+    params,
+    config: ApertisConfig,
+    gen: GenerationParams,
+    input_ids: jnp.ndarray,        # (B, Lp) right-padded prompt
+    attention_mask: jnp.ndarray,   # (B, Lp)
+    rng: jax.Array,
+    pixel_values: Optional[jnp.ndarray] = None,
+):
+    b, lp = input_ids.shape
+    num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
+    cache_len = num_img + lp + gen.max_new_tokens
+    buf_len = lp + gen.max_new_tokens
+
+    cache = model_lib.init_cache(config, b, max_length=cache_len)
+    pre = model_lib.prefill(
+        params, config, cache, input_ids,
+        attention_mask=attention_mask, pixel_values=pixel_values)
+
+    tokens = jnp.concatenate(
+        [input_ids, jnp.full((b, gen.max_new_tokens), gen.pad_token_id,
+                             input_ids.dtype)], axis=1)
+    mask = jnp.zeros((b, cache_len), jnp.int32)
+    if num_img:
+        mask = mask.at[:, :num_img].set(1)
+    mask = jax.lax.dynamic_update_slice(
+        mask, attention_mask.astype(jnp.int32), (0, num_img))
+
+    # Logit of the last REAL prompt token per row (prompts are right-padded).
+    lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)          # (B,)
+    last_idx = jnp.maximum(lens - 1, 0)
+    first_logits = jnp.take_along_axis(
+        pre.logits, last_idx[:, None, None], axis=1)[:, 0, :]
+
+    def sample(rng, logits, state_tokens, filled):
+        # History = real prompt tokens + generated region (bucket pads excluded).
+        pos = jnp.arange(buf_len)[None, :]
+        hist_mask = ((pos < lens[:, None]) |
+                     ((pos >= lp) & (pos < filled))).astype(jnp.float32)
+        return sampling_ops.sample_token(
+            rng, logits,
+            do_sample=gen.do_sample, temperature=gen.temperature,
+            top_k=gen.top_k, top_p=gen.top_p,
+            repetition_penalty=gen.repetition_penalty,
+            token_history=state_tokens, history_mask=hist_mask)
+
+    def finish_update(unfinished, next_tokens):
+        next_tokens = (next_tokens * unfinished
+                       + gen.pad_token_id * (1 - unfinished)).astype(tokens.dtype)
+        for eos in gen.eos_token_ids:
+            unfinished = jnp.where(
+                (next_tokens == eos) & (unfinished == 1), 0, unfinished)
+        return next_tokens, unfinished
+
+    rng, r0 = jax.random.split(rng)
+    next_tokens = sample(r0, first_logits.astype(jnp.float32), tokens, lp)
+    unfinished = jnp.ones((b,), jnp.int32)
+    # Mask bit for a generated token = unfinished state WHEN it was generated
+    # (the EOS token itself stays visible; later pads are masked out),
+    # matching the reference's mask-growth order (core.py:1631-1640).
+    mask_bit = unfinished
+    next_tokens, unfinished = finish_update(unfinished, next_tokens)
+
+    tokens = jax.lax.dynamic_update_slice(tokens, next_tokens[:, None], (0, lp))
+    t0 = jnp.asarray(num_img + lp, jnp.int32)
+    mask = jax.lax.dynamic_update_slice(mask, mask_bit[:, None], (0, t0))
+
+    state = GenerateState(tokens, mask, pre.cache, t0, jnp.asarray(lp + 1, jnp.int32),
+                          unfinished, jnp.asarray(1, jnp.int32), rng)
+
+    def cond(s: GenerateState):
+        more_steps = s.step < gen.max_new_tokens
+        need_min = s.step < gen.min_new_tokens
+        running = jnp.any(s.unfinished == 1)
+        return more_steps & (running | need_min)
+
+    def body(s: GenerateState) -> GenerateState:
+        cur = jax.lax.dynamic_slice(s.tokens, (0, s.filled - 1), (b, 1))[:, 0]
+        # Logical positions skip the bucket padding: token being decoded is
+        # the (step-1)-th generated one, at position num_img + len + step - 1.
+        positions = num_img + lens + s.step - 1
+        logits, cache = model_lib.decode_step(
+            params, config, s.cache, cur, s.t,
+            attn_mask_row=s.mask, positions=positions)
+        rng, r = jax.random.split(s.rng)
+        nxt = sample(r, logits.astype(jnp.float32), s.tokens, s.filled)
+        mask_bit = s.unfinished
+        nxt, unfinished = finish_update(s.unfinished, nxt)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.filled))
+        mask = jax.lax.dynamic_update_slice(s.mask, mask_bit[:, None], (0, s.t + 1))
+        return GenerateState(tokens, mask, cache, s.t + 1, s.filled + 1,
+                             unfinished, s.step + 1, rng)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.tokens, jnp.asarray(lp, jnp.int32) + final.step
+
+
+class InferenceEngine:
+    """Owns compiled generate/prefill programs for one (config, params) pair."""
+
+    PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+    def __init__(self, config: ApertisConfig, params, dtype: Optional[str] = None):
+        self.config = config
+        self.params = params
+        if dtype is not None:
+            target = jnp.dtype(dtype)
+            self.params = jax.tree.map(
+                lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params)
+        self._compiled: Dict[Any, Any] = {}
+
+    def _get_fn(self, gen: GenerationParams, lp: int, batch: int, has_image: bool):
+        key = (gen, lp, batch, has_image)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(_generate_impl, config=self.config, gen=gen))
+            self._compiled[key] = fn
+        return fn
+
+    def generate(
+        self,
+        input_ids: np.ndarray,                 # (B, L) int
+        attention_mask: Optional[np.ndarray] = None,
+        pixel_values: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        **gen_kwargs,
+    ) -> np.ndarray:
+        """Batch generation; returns (B, L_prompt_padded + n_generated) ids."""
+        eos = gen_kwargs.pop("eos_token_id", None)
+        if eos is None:
+            eos = self.config.eos_token_id
+        if not isinstance(eos, (tuple, list)):
+            eos = (eos,) if eos is not None else ()
+        pad = gen_kwargs.pop("pad_token_id", None)
+        if pad is None:
+            pad = self.config.pad_token_id if self.config.pad_token_id is not None else 0
+        gen = GenerationParams(
+            eos_token_ids=tuple(int(e) for e in eos if e is not None),
+            pad_token_id=int(pad),
+            **gen_kwargs)
+
+        input_ids = np.asarray(input_ids)
+        b, l = input_ids.shape
+        if attention_mask is None:
+            attention_mask = np.ones((b, l), np.int32)
+        bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
+        padded_ids, padded_mask = input_ids, attention_mask
+        if bucket > l:
+            padc = ((0, 0), (0, bucket - l))
+            padded_ids = np.pad(input_ids, padc, constant_values=gen.pad_token_id)
+            padded_mask = np.pad(attention_mask, padc)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+        fn = self._get_fn(gen, bucket, b, pixel_values is not None)
+        kwargs = {}
+        if pixel_values is not None:
+            kwargs["pixel_values"] = jnp.asarray(pixel_values)
+        tokens, length = fn(self.params, input_ids=jnp.asarray(padded_ids),
+                            attention_mask=jnp.asarray(padded_mask),
+                            rng=rng, **kwargs)
+        tokens = np.asarray(tokens)
+        n_generated = int(length) - bucket
+        # Contract matches the reference: prompt columns as given, then the
+        # generated columns (internal bucket padding stripped).
+        return np.concatenate([input_ids, tokens[:, bucket:bucket + n_generated]],
+                              axis=1)
+
+    # -- streaming ------------------------------------------------------
+    def stream(
+        self,
+        input_ids: np.ndarray,                 # (1, L)
+        pixel_values: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        **gen_kwargs,
+    ):
+        """Yield token ids one at a time (for interactive chat).
+
+        Uses jitted prefill + jitted single-step decode with a host-side loop;
+        slower than :meth:`generate` but emits tokens incrementally.
+        """
+        eos = gen_kwargs.pop("eos_token_id", None)
+        if eos is None:
+            eos = self.config.eos_token_id
+        eos_set = set(np.atleast_1d(eos).tolist()) if eos is not None else set()
+        max_new = gen_kwargs.pop("max_new_tokens", 128)
+        min_new = gen_kwargs.pop("min_new_tokens", 0)
+        do_sample = gen_kwargs.pop("do_sample", False)
+        temperature = gen_kwargs.pop("temperature", 1.0)
+        top_k = gen_kwargs.pop("top_k", 50)
+        top_p = gen_kwargs.pop("top_p", 1.0)
+        repetition_penalty = gen_kwargs.pop("repetition_penalty", 1.0)
+
+        config = self.config
+        input_ids = np.asarray(input_ids)
+        b, l = input_ids.shape
+        assert b == 1, "streaming supports batch 1"
+        num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
+        pad_id = config.pad_token_id if config.pad_token_id is not None else 0
+        bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
+        cache_len = num_img + bucket + max_new
+
+        padded = np.pad(input_ids, ((0, 0), (0, bucket - l)), constant_values=pad_id)
+        attn = np.pad(np.ones((1, l), np.int32), ((0, 0), (0, bucket - l)))
+
+        prefill_fn = self._jit_prefill(cache_len, pixel_values is not None)
+        step_fn = self._jit_step()
+
+        cache = model_lib.init_cache(config, 1, max_length=cache_len)
+        kwargs = {"pixel_values": jnp.asarray(pixel_values)} if pixel_values is not None else {}
+        pre = prefill_fn(self.params, cache, jnp.asarray(padded),
+                         jnp.asarray(attn), **kwargs)
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+        # Cache validity row: image prefix + real prompt + generated slots.
+        mask_row = np.zeros((1, cache_len), np.int32)
+        mask_row[0, :num_img] = 1
+        mask_row[0, num_img:num_img + l] = 1
+
+        history = list(int(x) for x in input_ids[0])
+        logits = pre.logits[:, l - 1, :]
+        cache = pre.cache
+        t = num_img + bucket       # physical cache slot for the next token
+        for step in range(max_new):
+            rng, r = jax.random.split(rng)
+            hist = jnp.asarray(np.asarray(history, np.int32)[None, :])
+            tok = sampling_ops.sample_token(
+                r, logits.astype(jnp.float32), do_sample=do_sample,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                token_history=hist)
+            tok_val = int(tok[0])
+            history.append(tok_val)
+            yield tok_val
+            if tok_val in eos_set and step + 1 >= min_new:
+                return
+            mask_row[0, t] = 1
+            logits, cache = step_fn(
+                self.params, cache, tok.astype(jnp.int32),
+                jnp.asarray(t, jnp.int32), jnp.asarray(mask_row),
+                jnp.asarray([num_img + l + step], jnp.int32))
+            t += 1
+
+    def _jit_prefill(self, cache_len: int, has_image: bool):
+        key = ("prefill", cache_len, has_image)
+        fn = self._compiled.get(key)
+        if fn is None:
+            config = self.config
+
+            def run(params, cache, ids, attn, pixel_values=None):
+                return model_lib.prefill(params, config, cache, ids,
+                                         attention_mask=attn,
+                                         pixel_values=pixel_values)
+
+            fn = jax.jit(run)
+            self._compiled[key] = fn
+        return fn
+
+    def _jit_step(self):
+        key = ("step",)
+        fn = self._compiled.get(key)
+        if fn is None:
+            config = self.config
+
+            def run(params, cache, tok, t, mask_row, positions):
+                return model_lib.decode_step(
+                    params, config, cache, tok, t,
+                    attn_mask_row=mask_row, positions=positions)
+
+            fn = jax.jit(run)
+            self._compiled[key] = fn
+        return fn

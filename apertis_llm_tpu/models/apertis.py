@@ -143,7 +143,18 @@ def _ssm_full(
     x: jnp.ndarray,  # (B, L, D) pre-normed
     *,
     want_cache: bool,
+    seq_mask: Optional[jnp.ndarray] = None,   # (B, L) 1 = real token
+    seq_lens: Optional[jnp.ndarray] = None,   # (B,) real lengths (for cache)
 ):
+    """Selective-SSM mixer over a full sequence.
+
+    When ``seq_mask`` is given (prefill with right-padded/bucketed prompts),
+    padded steps become identity transitions (a=1, b=0) so the carried state
+    after the scan equals the state after the last REAL token, and the cached
+    conv window is gathered at each row's true length. The unmasked variant
+    reproduces the reference exactly (which ignores the attention mask,
+    core.py:356-401).
+    """
     b, l, _ = x.shape
     d_inner = config.ssm_d_inner
     k = config.ssm_conv_kernel
@@ -155,10 +166,14 @@ def _ssm_full(
 
     a_bar, b_term, c_mod = _ssm_compute_params(lp, config, x_act)  # (B, L, H, N)
     a_bar = a_bar.transpose(0, 2, 1, 3)                   # (B, H, L, N)
-    b_term = b_term.transpose(0, 2, 1, 3)
+    b_term = b_term.transpose(0, 2, 1, 3).astype(a_bar.dtype)
     c_mod = c_mod.transpose(0, 2, 1, 3)
+    if seq_mask is not None:
+        m = seq_mask[:, None, :, None].astype(a_bar.dtype)
+        a_bar = a_bar * m + (1.0 - m)   # identity transition on pads
+        b_term = b_term * m
 
-    h, h_last = ssm_ops.selective_scan(a_bar, b_term.astype(a_bar.dtype))
+    h, h_last = ssm_ops.selective_scan(a_bar, b_term)
     y = (c_mod.astype(h.dtype) * h).astype(x.dtype)       # (B, H, L, N)
     y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
     y = y + lp["D"] * x_act
@@ -168,10 +183,17 @@ def _ssm_full(
     if want_cache:
         # Conv window carries the last K-1 *pre-conv* projected inputs
         # (reference: core.py:372); SSM state is the final recurrence carry.
-        pad = jnp.pad(x_proj, ((0, 0), (k - 1, 0), (0, 0)))
-        cache = {"conv": pad[:, -(k - 1):, :] if k > 1 else
-                 jnp.zeros((b, 0, d_inner), x.dtype),
-                 "ssm": h_last.astype(jnp.float32)}
+        pad = jnp.pad(x_proj, ((0, 0), (k - 1, 0), (0, 0)))  # (B, L+K-1, C)
+        if k <= 1:
+            conv_state = jnp.zeros((b, 0, d_inner), x.dtype)
+        elif seq_lens is None:
+            conv_state = pad[:, -(k - 1):, :]
+        else:
+            # Rows of padded x_proj at [len, len+K-2] are original positions
+            # [len-K+1, len-1] — the window ending at the last real token.
+            idx = seq_lens[:, None] + jnp.arange(k - 1)[None, :]   # (B, K-1)
+            conv_state = jnp.take_along_axis(pad, idx[:, :, None], axis=1)
+        cache = {"conv": conv_state, "ssm": h_last.astype(jnp.float32)}
     return out, cache
 
 
@@ -255,13 +277,17 @@ def _layer_full(
     rng: Optional[jax.Array],
     want_cache: bool,
     want_probs: bool = False,
+    seq_mask: Optional[jnp.ndarray] = None,
+    seq_lens: Optional[jnp.ndarray] = None,
 ):
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     eps = config.layer_norm_eps
 
     normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
     if config.attention_type == "selective_ssm":
-        attn_out, cache = _ssm_full(lp["attn"], config, normed, want_cache=want_cache)
+        attn_out, cache = _ssm_full(lp["attn"], config, normed,
+                                    want_cache=want_cache,
+                                    seq_mask=seq_mask, seq_lens=seq_lens)
         probs = None
     else:
         attn_out, cache, probs = _mha_full(
@@ -467,12 +493,15 @@ def prefill(
     bias = _build_bias(attention_mask, l_total, 0, jnp.float32)
     cos_t, sin_t = rope_tables(
         config.hidden_size, config.max_position_embeddings, config.rope_theta)
+    seq_mask = attention_mask
+    seq_lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
     def body(h, xs):
         lp, idx = xs
         h, layer_cache, _, _, _ = _layer_full(
             lp, config, h, bias, pos_ids, cos_t, sin_t,
-            training=False, rng=None, want_cache=True)
+            training=False, rng=None, want_cache=True,
+            seq_mask=seq_mask, seq_lens=seq_lens)
         return h, layer_cache
 
     h, stacked_cache = jax.lax.scan(
@@ -502,13 +531,22 @@ def decode_step(
     config: ApertisConfig,
     cache: Params,
     token_ids: jnp.ndarray,     # (B,) current tokens
-    t: jnp.ndarray,             # scalar int32: tokens already in cache
+    t: jnp.ndarray,             # scalar int32: cache slot to write
     attn_mask_row: Optional[jnp.ndarray] = None,  # (B, Lmax) validity incl. new token
+    positions: Optional[jnp.ndarray] = None,      # (B,) logical positions for RoPE
 ) -> Tuple[jnp.ndarray, Params]:
-    """One autoregressive step: returns (logits (B, V), updated cache)."""
+    """One autoregressive step: returns (logits (B, V), updated cache).
+
+    ``t`` indexes the physical cache slot; ``positions`` (defaulting to ``t``)
+    are the logical sequence positions used for rotary/absolute embeddings —
+    they differ when prompts were right-padded to a bucket length.
+    """
     b = token_ids.shape[0]
     h = jnp.take(params["embed"]["tok"], token_ids, axis=0)[:, None, :]  # (B,1,D)
-    pos = jnp.full((b, 1), t, jnp.int32)
+    if positions is None:
+        pos = jnp.full((b, 1), t, jnp.int32)
+    else:
+        pos = positions.astype(jnp.int32)[:, None]
     if config.position_embedding_type == "absolute" and "abs_pos" in params:
         h = h + jnp.take(params["abs_pos"]["emb"], pos, axis=0)
 

@@ -12,6 +12,7 @@ checkpoints.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Mapping
 
@@ -19,6 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from apertis_llm_tpu.config import ApertisConfig
+
+logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
@@ -166,19 +169,123 @@ def from_torch_state_dict(sd: Mapping[str, np.ndarray], config: ApertisConfig) -
     return params
 
 
+def infer_config_from_state_dict(sd: Mapping[str, np.ndarray]) -> ApertisConfig:
+    """Shape-sniff a config from a bare state_dict (no config.json).
+
+    Covers the reference's heuristics (interface.py:280-341) and extends them
+    to detect the selective-SSM mixer, SwiGLU, RMSNorm, expert count, and true
+    intermediate size from weight shapes — the reference guesses MHA/4h.
+    """
+    def shape(key):
+        return sd[key].shape if key in sd else None
+
+    vocab_size, hidden_size = 32000, 768
+    if (s := shape("model.token_embeddings.weight")) is not None:
+        vocab_size, hidden_size = int(s[0]), int(s[1])
+    elif (s := shape("lm_head.weight")) is not None:
+        vocab_size, hidden_size = int(s[0]), int(s[1])
+
+    layer_ids = set()
+    for k in sd:
+        if k.startswith("model.layers."):
+            parts = k.split(".")
+            if len(parts) > 2 and parts[2].isdigit():
+                layer_ids.add(int(parts[2]))
+    num_layers = len(layer_ids) if layer_ids else 12
+
+    is_ssm = any(".attention_mechanism_impl." in k for k in sd)
+    use_rmsnorm = "model.final_post_norm.scale" in sd
+    use_swiglu = any(".ffn.w_gate." in k for k in sd)
+    use_expert_system = any(".ffn.experts." in k for k in sd)
+
+    num_attention_heads = hidden_size // 64 if hidden_size % 64 == 0 else 12
+    if hidden_size % num_attention_heads != 0:
+        for i in range(num_attention_heads, 0, -1):
+            if hidden_size % i == 0:
+                num_attention_heads = i
+                break
+
+    cfg: Dict[str, Any] = dict(
+        vocab_size=vocab_size, hidden_size=hidden_size,
+        num_hidden_layers=num_layers,
+        num_attention_heads=num_attention_heads,
+        use_rmsnorm=use_rmsnorm, use_swiglu=use_swiglu,
+        multimodal=any("multimodal_encoder" in k or "vision_projection" in k
+                       for k in sd),
+    )
+
+    if is_ssm:
+        cfg["attention_type"] = "selective_ssm"
+        a_log = shape("model.layers.0.attention.attention_mechanism_impl.A_log")
+        if a_log is not None:
+            cfg["num_attention_heads"] = int(a_log[0])
+            cfg["ssm_d_state"] = int(a_log[1])
+        dt = shape("model.layers.0.attention.attention_mechanism_impl.dt_proj_head.weight")
+        if dt is not None:
+            cfg["ssm_dt_rank"] = int(dt[1])
+        conv = shape("model.layers.0.attention.attention_mechanism_impl.conv1d.weight")
+        if conv is not None:
+            cfg["ssm_conv_kernel"] = int(conv[2])
+
+    inter = None
+    for key in ("model.layers.0.feed_forward.ffn.0.weight",
+                "model.layers.0.feed_forward.ffn.experts.0.1.weight"):
+        if (s := shape(key)) is not None:
+            inter = int(s[0])
+            break
+    cfg["intermediate_size"] = inter if inter is not None else hidden_size * 4
+
+    if use_expert_system:
+        experts = set()
+        for k in sd:
+            if ".ffn.experts." in k:
+                experts.add(int(k.split(".ffn.experts.")[1].split(".")[0]))
+        cfg["use_expert_system"] = True
+        cfg["num_experts"] = len(experts) or 8
+        cfg["use_noisy_top_k_routing"] = any(".ffn.w_noise" in k for k in sd)
+
+    vis = shape("model.multimodal_encoder.patch_embed.weight")
+    if vis is not None:
+        cfg["vision_embed_dim"] = int(vis[0])
+        cfg["vision_patch_size"] = int(vis[2])
+        vlayers = set()
+        for k in sd:
+            if ".vision_layers." in k:
+                vlayers.add(int(k.split(".vision_layers.")[1].split(".")[0]))
+        cfg["vision_layers"] = len(vlayers) or 12
+        pos = shape("model.multimodal_encoder.vision_pos_embed")
+        if pos is not None:
+            patches = int(pos[1]) - 1
+            cfg["image_size"] = int(round(patches ** 0.5)) * cfg["vision_patch_size"]
+
+    logger.info("Inferred config from state_dict: %s", cfg)
+    return ApertisConfig.from_dict(cfg)
+
+
 def load_pretrained(model_dir: str | os.PathLike):
-    """Load (config, params) from a reference-format checkpoint directory
-    containing ``config.json`` + ``pytorch_model.bin`` (or ``model.pt``)."""
+    """Load (config, params) from a reference-format checkpoint: a directory
+    with ``config.json`` + ``pytorch_model.bin``/``model.pt``, or a bare
+    weights file (config is then shape-sniffed from the state_dict)."""
     from pathlib import Path
 
     model_dir = Path(model_dir)
-    config = ApertisConfig.from_pretrained(model_dir)
-    for name in ("pytorch_model.bin", "model.pt"):
-        ckpt = model_dir / name
-        if ckpt.exists():
-            sd = load_torch_state_dict(ckpt)
-            return config, from_torch_state_dict(sd, config)
-    raise FileNotFoundError(f"No pytorch_model.bin/model.pt under {model_dir}")
+    if model_dir.is_file():
+        ckpt, config_dir = model_dir, model_dir.parent
+    else:
+        config_dir = model_dir
+        for name in ("pytorch_model.bin", "model.pt"):
+            if (model_dir / name).exists():
+                ckpt = model_dir / name
+                break
+        else:
+            raise FileNotFoundError(
+                f"No pytorch_model.bin/model.pt under {model_dir}")
+    sd = load_torch_state_dict(ckpt)
+    if (config_dir / "config.json").exists():
+        config = ApertisConfig.from_pretrained(config_dir)
+    else:
+        config = infer_config_from_state_dict(sd)
+    return config, from_torch_state_dict(sd, config)
 
 
 # ---------------------------------------------------------------------------
@@ -290,14 +397,15 @@ def to_torch_state_dict(params: Params, config: ApertisConfig) -> Dict[str, np.n
     return sd
 
 
-def save_torch_checkpoint(params: Params, config: ApertisConfig, save_directory) -> None:
-    """Write a reference-compatible checkpoint (pytorch_model.bin + config.json)."""
+def save_torch_checkpoint(params: Params, config: ApertisConfig, save_directory,
+                          filename: str = "pytorch_model.bin") -> None:
+    """Write a reference-compatible checkpoint (weights + config.json)."""
     import torch
     from pathlib import Path
 
     save_directory = Path(save_directory)
     save_directory.mkdir(parents=True, exist_ok=True)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in to_torch_state_dict(params, config).items()}
-    torch.save(sd, save_directory / "pytorch_model.bin")
+    torch.save(sd, save_directory / filename)
     config.save_pretrained(save_directory)

@@ -1,0 +1,253 @@
+"""ApertisTrainer: the full training loop on a device mesh.
+
+Mirrors the reference trainer's capability surface (reference:
+src/training/pipeline.py:387-698): AdamW + OneCycle cosine, gradient
+accumulation and clipping, periodic/epoch/best-val/final checkpointing,
+wandb logging (optional), cooperative stop_event cancellation, eval loop.
+
+TPU-native replacements:
+  * DDP/DataParallel/DistributedSampler -> one (data, model, expert) mesh;
+    the jitted train step's gradient all-reduce is inserted by GSPMD.
+  * CUDA AMP fp16 + GradScaler -> bf16 compute, float32 master params
+    (no loss scaling needed).
+  * torch checkpointing -> ``jax.checkpoint`` rematerialisation
+    (config.remat).
+  * OOM-adaptive dynamic batch halving -> static shapes by construction;
+    the flag is accepted and logged as a no-op (documented deviation).
+  * Checkpoints carry full train state (orbax) plus reference-compatible
+    weights.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.parallel.mesh import create_mesh
+from apertis_llm_tpu.parallel.sharding import check_divisibility, shard_params
+from apertis_llm_tpu.training.datasets import BatchLoader
+from apertis_llm_tpu.training.step import (
+    TrainState, create_train_state, make_eval_step, make_optimizer,
+    make_train_step)
+from apertis_llm_tpu.utils.checkpoint import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+class ApertisTrainer:
+    def __init__(
+        self,
+        config: ApertisConfig,
+        params: Dict[str, Any],
+        train_dataset,
+        val_dataset=None,
+        output_dir: str = "output",
+        batch_size: int = 4,
+        learning_rate: float = 5e-5,
+        weight_decay: float = 0.01,
+        num_epochs: int = 3,
+        warmup_steps: int = 0,
+        gradient_accumulation_steps: int = 4,
+        max_grad_norm: float = 1.0,
+        use_wandb: bool = False,
+        wandb_project: str = "apertis",
+        wandb_run_name: Optional[str] = None,
+        bf16: bool = True,
+        checkpoint_steps: int = 0,
+        iteration_checkpoint_steps: int = 0,
+        use_gradient_checkpointing: bool = True,
+        eval_every_n_epochs: int = 1,
+        dynamic_batch_sizing: bool = True,
+        mesh_shape=None,
+        stop_event: Optional[threading.Event] = None,
+        is_fine_tuning: bool = False,
+        tokenizer_path_to_save: Optional[str] = None,
+        seed: int = 0,
+        resume_from: Optional[str] = None,
+    ):
+        self.config = config.replace(remat=use_gradient_checkpointing)
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.output_dir = Path(output_dir)
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.gradient_accumulation_steps = max(1, gradient_accumulation_steps)
+        self.eval_every_n_epochs = max(1, eval_every_n_epochs)
+        self.checkpoint_steps = checkpoint_steps
+        self.iteration_checkpoint_steps = iteration_checkpoint_steps
+        self.stop_event = stop_event or threading.Event()
+        self.is_fine_tuning = is_fine_tuning
+        self.tokenizer_path_to_save = tokenizer_path_to_save
+        self.use_wandb = use_wandb
+        self.compute_dtype = "bfloat16" if bf16 else None
+
+        if dynamic_batch_sizing:
+            logger.info("dynamic_batch_sizing requested: static-shape XLA "
+                        "programs cannot OOM mid-epoch; flag is a no-op here.")
+
+        # Mesh: default all devices on the data axis.
+        devices = jax.devices()
+        if mesh_shape is None:
+            mesh_shape = (len(devices), 1, 1)
+        self.mesh = create_mesh(devices, tuple(mesh_shape))
+        check_divisibility(self.config, self.mesh)
+        data_par = self.mesh.shape["data"]
+        if batch_size % data_par:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by data-parallel size {data_par}")
+
+        self.train_loader = BatchLoader(
+            train_dataset, batch_size, shuffle=True, drop_last=True, seed=seed)
+        self.val_loader = (BatchLoader(val_dataset, batch_size, shuffle=False,
+                                       drop_last=False, seed=seed)
+                           if val_dataset is not None else None)
+
+        steps_per_epoch = max(
+            1, -(-len(self.train_loader) // self.gradient_accumulation_steps))
+        total_steps = steps_per_epoch * num_epochs
+        self.tx, self.schedule = make_optimizer(
+            learning_rate, total_steps, weight_decay, max_grad_norm,
+            self.gradient_accumulation_steps)
+
+        sharded = shard_params(
+            jax.tree.map(lambda x: x.astype(jnp.float32)
+                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                         params),
+            self.mesh)
+        self.state = create_train_state(sharded, self.tx, jax.random.PRNGKey(seed))
+        if resume_from:
+            from apertis_llm_tpu.utils.checkpoint import restore_train_state
+
+            logger.info("Resuming full train state from %s", resume_from)
+            restored = restore_train_state(resume_from, self.state)
+
+            # Re-place restored arrays with the freshly-initialised state's
+            # shardings (orbax restores to single-device arrays by default);
+            # leaves without a mesh sharding (optimizer counters, rng) are
+            # replicated across the mesh.
+            def _place(r, t):
+                s = t.sharding
+                if not isinstance(s, NamedSharding):
+                    s = NamedSharding(self.mesh, P())
+                return jax.device_put(r, s)
+
+            self.state = jax.tree.map(_place, restored, self.state)
+
+        self._train_step = jax.jit(
+            make_train_step(self.config, self.tx, self.compute_dtype),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(make_eval_step(self.config, self.compute_dtype))
+        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        if self.use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project, name=wandb_run_name,
+                           config={"batch_size": batch_size,
+                                   "learning_rate": learning_rate,
+                                   "model_config": self.config.to_dict()})
+                self._wandb = wandb
+            except ImportError:
+                logger.warning("wandb not installed; disabling wandb logging.")
+                self.use_wandb = False
+                self._wandb = None
+        else:
+            self._wandb = None
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        return jax.device_put(batch, self._batch_sharding)
+
+    def save_checkpoint(self, name: str) -> None:
+        save_checkpoint(self.output_dir / name, self.state, self.config,
+                        tokenizer_src=self.tokenizer_path_to_save)
+
+    def evaluate(self) -> Optional[float]:
+        if self.val_loader is None:
+            return None
+        losses, counts = [], []
+        for batch in self.val_loader:
+            n = batch["input_ids"].shape[0]
+            pad = -n % self.batch_size
+            if pad:
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                         for k, v in batch.items()}
+            metrics = self._eval_step(self.state.params, self._put_batch(batch))
+            losses.append(float(metrics["loss"]))
+            counts.append(n)
+        if not losses:
+            return None
+        return float(np.average(losses, weights=counts))
+
+    def train(self) -> Dict[str, Any]:
+        logger.info("Starting %s on mesh %s",
+                    "fine-tuning" if self.is_fine_tuning else "pre-training",
+                    dict(self.mesh.shape))
+        best_val = float("inf")
+        global_step = 0
+        history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
+
+        for epoch in range(self.num_epochs):
+            if self.stop_event.is_set():
+                logger.info("Stop event received; halting at epoch %d.", epoch + 1)
+                break
+            self.train_loader.set_epoch(epoch)
+            epoch_losses = []
+            t0 = time.time()
+            for step, batch in enumerate(self.train_loader):
+                if self.stop_event.is_set():
+                    break
+                self.state, metrics = self._train_step(
+                    self.state, self._put_batch(batch))
+                loss = float(metrics["loss"])
+                epoch_losses.append(loss)
+                if (step + 1) % self.gradient_accumulation_steps == 0:
+                    global_step += 1
+                    if self._wandb:
+                        self._wandb.log({
+                            "train/loss": loss,
+                            "train/learning_rate": float(self.schedule(global_step)),
+                            "train/grad_norm": float(metrics["grad_norm"]),
+                            "train/epoch_progress":
+                                epoch + (step + 1) / max(len(self.train_loader), 1),
+                        })
+                    if self.checkpoint_steps and global_step % self.checkpoint_steps == 0:
+                        self.save_checkpoint(f"checkpoint-step-{global_step}")
+                if (self.iteration_checkpoint_steps
+                        and (step + 1) % self.iteration_checkpoint_steps == 0):
+                    self.save_checkpoint(f"checkpoint-iter-{step + 1}")
+
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            history["train_loss"].append(mean_loss)
+            logger.info("Epoch %d/%d: loss=%.4f (%.1fs)", epoch + 1,
+                        self.num_epochs, mean_loss, time.time() - t0)
+
+            if (epoch + 1) % self.eval_every_n_epochs == 0:
+                val_loss = self.evaluate()
+                if val_loss is not None:
+                    history["val_loss"].append(val_loss)
+                    logger.info("Epoch %d validation loss: %.4f", epoch + 1, val_loss)
+                    if self._wandb:
+                        self._wandb.log({"val/loss": val_loss})
+                    if val_loss < best_val:
+                        best_val = val_loss
+                        self.save_checkpoint("best_model")
+            if not self.stop_event.is_set():
+                self.save_checkpoint(f"checkpoint-epoch-{epoch + 1}")
+
+        self.save_checkpoint("final")
+        if self._wandb:
+            self._wandb.finish()
+        history["final_step"] = global_step
+        history["best_val_loss"] = best_val if best_val != float("inf") else None
+        return history

@@ -1,0 +1,102 @@
+"""Checkpointing: orbax full train-state + reference-compatible weight export.
+
+The reference saves only weights + config per checkpoint (pipeline.py:640-698)
+— no optimizer/scheduler/RNG state, so no true resume. Here every checkpoint
+directory contains BOTH:
+
+  * ``state/`` — orbax checkpoint of the full TrainState (params, optimizer
+    state, step counter, PRNG key): true resume (capability upgrade,
+    SURVEY.md §5), and
+  * ``pytorch_model.bin`` + ``config.json`` (+ copied tokenizer/vocab files)
+    — loadable by the PyTorch reference and by this framework's inference
+    stack alike.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(
+    ckpt_dir: str | Path,
+    state: Any,                    # TrainState
+    config,                        # ApertisConfig
+    tokenizer_src: Optional[str] = None,
+    export_torch: bool = True,
+) -> None:
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    import orbax.checkpoint as ocp
+
+    state_dir = ckpt_dir / "state"
+    if state_dir.exists():
+        shutil.rmtree(state_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(state_dir, dict(params=state.params,
+                                   opt_state=state.opt_state,
+                                   step=state.step,
+                                   rng=state.rng))
+
+    if export_torch:
+        from apertis_llm_tpu.models.convert import save_torch_checkpoint
+
+        params_f32 = jax.tree.map(
+            lambda x: x.astype("float32") if hasattr(x, "astype") else x,
+            state.params)
+        save_torch_checkpoint(params_f32, config, ckpt_dir)
+    else:
+        config.save_pretrained(ckpt_dir)
+
+    if tokenizer_src:
+        src = Path(tokenizer_src)
+        try:
+            if src.is_file():
+                shutil.copy2(src, ckpt_dir / src.name)
+            elif src.is_dir():
+                for f in src.iterdir():
+                    if f.is_file() and f.suffix in (".json", ".txt", ".model"):
+                        shutil.copy2(f, ckpt_dir / f.name)
+        except Exception as e:
+            logger.warning("Could not copy tokenizer from %s: %s", tokenizer_src, e)
+    logger.info("Checkpoint saved to %s", ckpt_dir)
+
+
+def restore_train_state(ckpt_dir: str | Path, abstract_state: Any):
+    """Restore a TrainState saved by :func:`save_checkpoint`.
+
+    ``abstract_state`` is a TrainState with correctly-shaped (possibly
+    uninitialised) arrays used as the restore template.
+    """
+    import orbax.checkpoint as ocp
+
+    from apertis_llm_tpu.training.step import TrainState
+
+    state_dir = Path(ckpt_dir).resolve() / "state"
+    template = dict(params=abstract_state.params,
+                    opt_state=abstract_state.opt_state,
+                    step=abstract_state.step,
+                    rng=abstract_state.rng)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(state_dir, template)
+    return TrainState(restored["params"], restored["opt_state"],
+                      restored["step"], restored["rng"])
+
+
+def latest_checkpoint(output_dir: str | Path) -> Optional[Path]:
+    """Find the most recent checkpoint dir containing a saved state."""
+    output_dir = Path(output_dir)
+    if not output_dir.exists():
+        return None
+    candidates = [d for d in output_dir.iterdir()
+                  if d.is_dir() and (d / "state").exists()]
+    if not candidates:
+        return None
+    return max(candidates, key=lambda d: d.stat().st_mtime)

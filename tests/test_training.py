@@ -1,0 +1,151 @@
+"""End-to-end training: config file -> train_from_config -> checkpoints ->
+resume -> fine-tune, all on the virtual 8-device CPU mesh."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _write_pretrain_setup(tmp_path: Path, n_items=32, max_length=24):
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3}
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "sun", "moon"]
+    for i, w in enumerate(words):
+        vocab[w] = 4 + i
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(n_items):
+        n = int(rng.integers(4, 12))
+        lines.append(json.dumps({"text": " ".join(rng.choice(words, n))}))
+    (tmp_path / "train.jsonl").write_text("\n".join(lines))
+    (tmp_path / "val.jsonl").write_text("\n".join(lines[:8]))
+
+    config = {
+        "data_config": {
+            "train_data_path": str(tmp_path / "train.jsonl"),
+            "val_data_path": str(tmp_path / "val.jsonl"),
+            "tokenizer_path": str(tmp_path / "vocab.json"),
+            "max_length": max_length,
+        },
+        "model_config": {
+            "target_param_count": "10M",
+            "attention_type": "selective_ssm",
+            "ssm_d_state": 8,
+            "config_overrides": {
+                "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "intermediate_size": 128,
+                "hidden_dropout_prob": 0.0,
+                "attention_probs_dropout_prob": 0.0,
+            },
+        },
+        "training_config": {
+            "task_type": "pretrain",
+            "output_dir": str(tmp_path / "out"),
+            "batch_size": 8,
+            "learning_rate": 1e-3,
+            "num_epochs": 2,
+            "gradient_accumulation_steps": 1,
+            "bf16": False,
+            "use_gradient_checkpointing": False,
+        },
+    }
+    cfg_path = tmp_path / "train_config.json"
+    cfg_path.write_text(json.dumps(config))
+    return cfg_path, config
+
+
+def test_pretrain_end_to_end(tmp_path):
+    from apertis_llm_tpu.training import train_from_config
+
+    cfg_path, _ = _write_pretrain_setup(tmp_path)
+    history = train_from_config(str(cfg_path))
+
+    assert len(history["train_loss"]) == 2
+    assert history["train_loss"][1] < history["train_loss"][0]
+    out = tmp_path / "out"
+    final = out / "final"
+    assert (final / "pytorch_model.bin").exists()
+    assert (final / "config.json").exists()
+    assert (final / "state").exists()       # full train state (orbax)
+    assert (final / "vocab.json").exists()  # tokenizer copied alongside
+
+    # The exported checkpoint round-trips through the inference loader.
+    from apertis_llm_tpu.models.convert import load_pretrained
+
+    config, params = load_pretrained(final)
+    assert config.attention_type == "selective_ssm"
+    assert params["embed"]["tok"].shape[0] == config.vocab_size
+
+
+def test_resume_from_checkpoint(tmp_path):
+    from apertis_llm_tpu.training import train_from_config
+
+    cfg_path, config = _write_pretrain_setup(tmp_path)
+    first = train_from_config(str(cfg_path))
+
+    config["training_config"]["resume_from"] = str(tmp_path / "out" / "final")
+    config["training_config"]["num_epochs"] = 1
+    config["training_config"]["output_dir"] = str(tmp_path / "out2")
+    cfg2 = tmp_path / "resume_config.json"
+    cfg2.write_text(json.dumps(config))
+    history = train_from_config(str(cfg2))
+    # Resumed training continues from trained weights + optimizer state:
+    # its first epoch is better than the fresh run's first epoch AND no
+    # worse than where the first run ended.
+    assert history["train_loss"][0] < first["train_loss"][0]
+    assert history["train_loss"][0] <= first["train_loss"][-1] + 0.05
+
+
+def test_finetune_from_pretrained(tmp_path):
+    from apertis_llm_tpu.training import train_from_config
+
+    cfg_path, config = _write_pretrain_setup(tmp_path)
+    train_from_config(str(cfg_path))
+
+    ft_lines = [json.dumps({"instruction": "say cat", "output": "cat sat"})] * 16
+    (tmp_path / "ft.jsonl").write_text("\n".join(ft_lines))
+    ft_config = {
+        "data_config": {
+            "train_data_path": str(tmp_path / "ft.jsonl"),
+            "tokenizer_path": str(tmp_path / "vocab.json"),
+            "max_length": 24,
+        },
+        "model_config": {},
+        "training_config": {
+            "task_type": "finetune",
+            "pretrained_model_path_for_finetune": str(tmp_path / "out" / "final"),
+            "output_dir": str(tmp_path / "ft_out"),
+            "batch_size": 8,
+            "learning_rate": 1e-3,
+            "num_epochs": 1,
+            "gradient_accumulation_steps": 1,
+            "bf16": False,
+            "use_gradient_checkpointing": False,
+        },
+    }
+    cfg2 = tmp_path / "ft_config.json"
+    cfg2.write_text(json.dumps(ft_config))
+    history = train_from_config(str(cfg2))
+    assert np.isfinite(history["train_loss"][0])
+    assert (tmp_path / "ft_out" / "final" / "pytorch_model.bin").exists()
+
+
+def test_finetune_embedding_resize():
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.pipeline import resize_embeddings
+
+    config = ApertisConfig(vocab_size=100, hidden_size=32,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=64)
+    params = init_params(jax.random.PRNGKey(0), config)
+    resized = resize_embeddings(params, config, 150)
+    assert resized["embed"]["tok"].shape == (150, 32)
+    np.testing.assert_array_equal(
+        np.asarray(resized["embed"]["tok"][:100]),
+        np.asarray(params["embed"]["tok"]))
