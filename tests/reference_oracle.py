@@ -42,8 +42,28 @@ def _stub_torchvision() -> None:
     transforms.ToTensor = _Noop
     transforms.Normalize = _Noop
     tv.transforms = transforms
+    # transformers probes torchvision via importlib.util.find_spec, which
+    # raises on a spec-less stub module — give it a real-looking spec.
+    import importlib.machinery
+
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    transforms.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", loader=None)
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
+
+
+def _stub_wandb() -> None:
+    if "wandb" in sys.modules:
+        return
+    import importlib.machinery
+
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda *a, **k: None
+    wandb.log = lambda *a, **k: None
+    wandb.finish = lambda *a, **k: None
+    wandb.__spec__ = importlib.machinery.ModuleSpec("wandb", loader=None)
+    sys.modules["wandb"] = wandb
 
 
 def load_reference():
@@ -52,6 +72,7 @@ def load_reference():
         return None
     try:
         _stub_torchvision()
+        _stub_wandb()
         if str(REFERENCE_ROOT) not in sys.path:
             sys.path.insert(0, str(REFERENCE_ROOT))
         from src.model import core  # type: ignore
