@@ -64,6 +64,20 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _flash_eligible(config: ApertisConfig, seq_len: int, head_dim: int) -> bool:
+    """Static gate for the fused attention kernel: user-enabled, running on
+    TPU, and shapes the kernel tiles cleanly (block-divisible sequence,
+    lane-aligned head dim)."""
+    if not config.use_flash_attention:
+        return False
+    if seq_len % 128 != 0 or head_dim % 8 != 0 or head_dim > 256:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:
     if not training or rate <= 0.0 or rng is None:
         return x
@@ -106,6 +120,13 @@ def _mha_full(
     probs = None
     if want_probs:
         ctx, probs = attn_ops.mha_with_probs(qh, kh, vh, bias=bias, causal=True)
+    elif bias is None and _flash_eligible(config, l, head_dim):
+        # Fused Pallas kernel: same gating as the reference's flash path —
+        # enabled, no padding mask, no attention-probs output
+        # (reference: core.py:731-740).
+        from apertis_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+        ctx = flash_attention(qh, kh, vh, True)
     else:
         ctx = attn_ops.mha(qh, kh, vh, bias=bias, causal=True)
     if training and config.attention_probs_dropout_prob > 0 and rng is not None:
@@ -375,13 +396,15 @@ def forward(
     image prefix is sliced off, reference: core.py:1399-1408) and, when
     ``labels`` given, shifted-CE loss + MoE aux losses."""
     l_text = input_ids.shape[1]
+    mask_was_none = attention_mask is None
     embeds, pos_ids, attention_mask, num_img = assemble_inputs(
         params, config, input_ids, attention_mask, position_ids, pixel_values)
 
-    has_padding = jnp.any(attention_mask == 0)
-    # Static decision would be better; keep dynamic-safe: always build the
-    # combined bias (it reduces to pure causal when there is no padding).
-    bias = _build_bias(attention_mask, embeds.shape[1], 0, jnp.float32)
+    # No user mask -> pure causal attention; bias=None statically enables the
+    # fused flash kernel (mirrors the reference's mask-is-None gating,
+    # core.py:1088-1108). With a mask, build the combined causal+padding bias.
+    bias = (None if mask_was_none
+            else _build_bias(attention_mask, embeds.shape[1], 0, jnp.float32))
 
     rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
     h = _dropout(rngs[0], embeds, config.hidden_dropout_prob, training)
@@ -422,7 +445,7 @@ def forward(
         loss = cross_entropy_loss(logits, labels, ignore_index=-100)
         if config.use_expert_system:
             loss = loss + lb_loss + rz_loss
-    del has_padding, l_text
+    del l_text
     return LMOutput(loss, logits, lb_loss, rz_loss,
                     all_probs if output_attentions else None)
 

@@ -24,6 +24,7 @@ the decode step.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -36,16 +37,37 @@ def _combine(left, right):
     return a1 * a2, a2 * b1 + b2
 
 
+def _use_pallas() -> bool:
+    """Kernel dispatch: APERTIS_SSM_KERNEL=pallas|xla overrides; default is
+    the fused Pallas kernel on TPU, XLA elsewhere."""
+    choice = os.environ.get("APERTIS_SSM_KERNEL", "auto")
+    if choice == "pallas":
+        return True
+    if choice == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def selective_scan(
     a_bar: jnp.ndarray,   # (B, H, L, N) decay factors in (0, 1]
     b_term: jnp.ndarray,  # (B, H, L, N) recurrence inputs
     h_init: Optional[jnp.ndarray] = None,  # (B, H, N) carried state
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """All-timestep hidden states via parallel associative scan.
+    """All-timestep hidden states via parallel scan.
 
     Returns ``(h, h_last)`` with ``h`` of shape (B, H, L, N) and ``h_last``
     the final carry (B, H, N) for chunked/sequence-parallel composition.
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/ssm_scan.py); the associative-scan path below is the
+    portable reference implementation.
     """
+    if _use_pallas():
+        from apertis_llm_tpu.ops.pallas.ssm_scan import selective_scan_pallas
+
+        return selective_scan_pallas(a_bar, b_term, h_init)
     dtype = b_term.dtype
     a = a_bar.astype(jnp.float32)
     b = b_term.astype(jnp.float32)

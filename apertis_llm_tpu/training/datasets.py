@@ -70,6 +70,30 @@ class ApertisPretrainDataset:
         self.image_size = image_size
         self.pad_token_id = pad_token_id
         self.unk_token_id = unk_token_id
+        self._native_arrays = None
+        if not multimodal:
+            self._try_native_pretokenize()
+
+    def _try_native_pretokenize(self) -> None:
+        """Tokenise the whole corpus once through the C++ loader (threaded,
+        GIL-free); per-item access then just slices the arrays."""
+        try:
+            from apertis_llm_tpu.native import NativeTokenizerBatcher
+
+            batcher = NativeTokenizerBatcher(
+                self.vocab, self.pad_token_id, self.unk_token_id,
+                self.model_vocab_size, self.max_length)
+            if not batcher.available:
+                return
+            texts = [item.get("text", "") for item in self.data
+                     if isinstance(item.get("text", ""), str)]
+            if len(texts) != len(self.data):
+                return  # pre-tokenised list-form items: keep Python path
+            ids, mask, labels = batcher.encode_batch(texts)
+            self._native_arrays = (ids, mask, labels)
+            logger.info("Pretokenised %d items natively.", len(texts))
+        except Exception as e:  # never fail the dataset over the fast path
+            logger.info("Native pretokenise unavailable: %s", e)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -92,6 +116,10 @@ class ApertisPretrainDataset:
         return ids
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self._native_arrays is not None:
+            ids_a, mask_a, labels_a = self._native_arrays
+            return {"input_ids": ids_a[idx], "attention_mask": mask_a[idx],
+                    "labels": labels_a[idx]}
         item = self.data[idx]
         ids = self._tokenize(item.get("text", ""))[: self.max_length]
         ids = ids + [self.pad_token_id] * (self.max_length - len(ids))

@@ -205,6 +205,7 @@ def train_from_config(config_path: str,
         tokenizer_path_to_save=tokenizer_path,
         seed=train_cfg.get("seed", 0),
         resume_from=train_cfg.get("resume_from"),
+        profile_dir=train_cfg.get("profile_dir"),
     )
     logger.info("Starting %s with config %s",
                 "fine-tuning" if is_fine_tuning else "pre-training", config_path)

@@ -24,7 +24,7 @@ import logging
 import threading
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,8 @@ class ApertisTrainer:
         tokenizer_path_to_save: Optional[str] = None,
         seed: int = 0,
         resume_from: Optional[str] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (10, 15),
     ):
         self.config = config.replace(remat=use_gradient_checkpointing)
         self.train_dataset = train_dataset
@@ -89,6 +91,8 @@ class ApertisTrainer:
         self.tokenizer_path_to_save = tokenizer_path_to_save
         self.use_wandb = use_wandb
         self.compute_dtype = "bfloat16" if bf16 else None
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         if dynamic_batch_sizing:
             logger.info("dynamic_batch_sizing requested: static-shape XLA "
@@ -197,6 +201,13 @@ class ApertisTrainer:
         global_step = 0
         history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
 
+        from apertis_llm_tpu.utils.profiling import StepTimer, trace
+
+        timer = StepTimer()
+        profiling = False
+        tokens_per_step = self.batch_size * getattr(
+            self.train_dataset, "max_length", 0)
+
         for epoch in range(self.num_epochs):
             if self.stop_event.is_set():
                 logger.info("Stop event received; halting at epoch %d.", epoch + 1)
@@ -207,9 +218,23 @@ class ApertisTrainer:
             for step, batch in enumerate(self.train_loader):
                 if self.stop_event.is_set():
                     break
+                if self.profile_dir and epoch == 0:
+                    if step == self.profile_steps[0] and not profiling:
+                        import jax
+
+                        jax.profiler.start_trace(self.profile_dir)
+                        profiling = True
+                    elif step == self.profile_steps[1] and profiling:
+                        import jax
+
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info("Profiler trace written to %s",
+                                    self.profile_dir)
                 self.state, metrics = self._train_step(
                     self.state, self._put_batch(batch))
                 loss = float(metrics["loss"])
+                timer.tick()
                 epoch_losses.append(loss)
                 if (step + 1) % self.gradient_accumulation_steps == 0:
                     global_step += 1
@@ -229,8 +254,14 @@ class ApertisTrainer:
 
             mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
             history["train_loss"].append(mean_loss)
-            logger.info("Epoch %d/%d: loss=%.4f (%.1fs)", epoch + 1,
-                        self.num_epochs, mean_loss, time.time() - t0)
+            stats = timer.stats(tokens_per_step or None)
+            logger.info("Epoch %d/%d: loss=%.4f (%.1fs)%s", epoch + 1,
+                        self.num_epochs, mean_loss, time.time() - t0,
+                        f"  [{stats.get('tokens_per_sec', 0):,.0f} tok/s, "
+                        f"p50 step {stats.get('step_time_p50_s', 0)*1e3:.0f} ms]"
+                        if stats else "")
+            if self._wandb and stats:
+                self._wandb.log({f"perf/{k}": v for k, v in stats.items()})
 
             if (epoch + 1) % self.eval_every_n_epochs == 0:
                 val_loss = self.evaluate()

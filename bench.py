@@ -85,24 +85,33 @@ def main():
     engine = InferenceEngine(config, params)
 
     rng = np.random.default_rng(0)
-    prompt = rng.integers(4, config.vocab_size, size=(batch, prompt_len)).astype(np.int32)
-    pixels = rng.normal(size=(batch, 3, config.image_size, config.image_size)).astype(np.float32)
+    # Distinct prompt/pixel buffers per timed call: the execution layer can
+    # cache results for identical (executable, args) pairs, which would make
+    # repeat timings measure nothing.
+    def fresh_inputs(i):
+        r = np.random.default_rng(i)
+        prompt = r.integers(4, config.vocab_size,
+                            size=(batch, prompt_len)).astype(np.int32)
+        pixels = r.normal(size=(batch, 3, config.image_size,
+                                config.image_size)).astype(np.float32)
+        return prompt, pixels
 
     gen_kwargs = dict(eos_token_id=(), do_sample=False)
 
     def timed(n_tokens):
-        # compile
+        prompt, pixels = fresh_inputs(0)
         t0 = time.perf_counter()
         engine.generate(prompt, pixel_values=pixels, max_new_tokens=n_tokens,
                         rng=jax.random.PRNGKey(0), **gen_kwargs)
         compile_s = time.perf_counter() - t0
-        # steady state (best of 2)
         best = float("inf")
-        for _ in range(2):
+        out = None
+        for i in range(1, 3):
+            prompt, pixels = fresh_inputs(i)
             t0 = time.perf_counter()
             out = engine.generate(prompt, pixel_values=pixels,
                                   max_new_tokens=n_tokens,
-                                  rng=jax.random.PRNGKey(0), **gen_kwargs)
+                                  rng=jax.random.PRNGKey(i), **gen_kwargs)
             best = min(best, time.perf_counter() - t0)
         return best, compile_s, out
 

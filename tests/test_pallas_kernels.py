@@ -1,0 +1,119 @@
+"""Pallas kernel correctness (interpreter mode on CPU; native on TPU).
+
+Checks the fused selective-scan and flash-attention kernels against the
+portable XLA implementations, forward and backward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    if jax.devices()[0].platform != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+def test_ssm_scan_kernel_fwd_bwd():
+    from apertis_llm_tpu.ops.pallas.ssm_scan import selective_scan_pallas
+    from apertis_llm_tpu.ops.ssm import _combine
+
+    rng = np.random.default_rng(0)
+    b, h, l, n = 2, 3, 320, 8   # non-multiples of CHUNK/ROW_BLK on purpose
+    a = jnp.asarray(rng.uniform(0.4, 0.999, (b, h, l, n)), jnp.float32)
+    bt = jnp.asarray(rng.normal(size=(b, h, l, n)), jnp.float32)
+
+    _, ref_h = jax.lax.associative_scan(
+        _combine, (a, bt), axis=2), None
+    ref = jax.lax.associative_scan(_combine, (a, bt), axis=2)[1]
+    got, last = selective_scan_pallas(a, bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref[:, :, -1]),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients vs autodiff through the associative scan
+    def loss_ref(a, bt):
+        return jnp.sum(jnp.sin(jax.lax.associative_scan(_combine, (a, bt), axis=2)[1]))
+
+    def loss_pal(a, bt):
+        return jnp.sum(jnp.sin(selective_scan_pallas(a, bt)[0]))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(a, bt)
+    gp = jax.grad(loss_pal, argnums=(0, 1))(a, bt)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ssm_scan_kernel_h_init():
+    from apertis_llm_tpu.ops.pallas.ssm_scan import selective_scan_pallas
+    from apertis_llm_tpu.ops.ssm import _combine
+
+    rng = np.random.default_rng(1)
+    b, h, l, n = 1, 2, 64, 4
+    a = jnp.asarray(rng.uniform(0.4, 0.999, (b, h, l, n)), jnp.float32)
+    bt = jnp.asarray(rng.normal(size=(b, h, l, n)), jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(b, h, n)), jnp.float32)
+
+    bt_folded = bt.at[:, :, 0].add(a[:, :, 0] * h0)
+    ref = jax.lax.associative_scan(_combine, (a, bt_folded), axis=2)[1]
+    got, _ = selective_scan_pallas(a, bt, h0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # grad flows to h_init
+    g = jax.grad(lambda h0: jnp.sum(selective_scan_pallas(a, bt, h0)[0]))(h0)
+    gref = jax.grad(lambda h0: jnp.sum(jax.lax.associative_scan(
+        _combine, (a, bt.at[:, :, 0].add(a[:, :, 0] * h0)), axis=2)[1]))(h0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention_fwd(causal):
+    from apertis_llm_tpu.ops.attention import mha
+    from apertis_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(2)
+    b, h, l, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+
+    ref = mha(q, k, v, causal=causal) if causal else mha(q, k, v, causal=False)
+    got = flash_attention(q, k, v, causal, None, 128, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_bwd():
+    from apertis_llm_tpu.ops.attention import mha
+    from apertis_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    b, h, l, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.tanh(mha(q, k, v, causal=True)))
+
+    def loss_pal(q, k, v):
+        return jnp.sum(jnp.tanh(flash_attention(q, k, v, True, None, 128, 128)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for i, name in enumerate("qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}")
