@@ -39,6 +39,7 @@ class LMOutput(NamedTuple):
     lb_loss: jnp.ndarray
     rz_loss: jnp.ndarray
     attentions: Optional[jnp.ndarray] = None  # (num_layers, B, H, L, L) when requested
+    hidden_states: Optional[jnp.ndarray] = None  # (num_layers + 1, B, L, D) when requested
 
 
 class PrefillOutput(NamedTuple):
@@ -263,14 +264,19 @@ def _ffn(
                 and config.expert_dropout_prob > 0 and drop_rng is not None):
             active = moe_ops.expert_dropout_mask(
                 drop_rng, config.num_experts, config.expert_dropout_prob)
+        s = b * l
         if training and config.use_expert_capacity_limit:
-            s = b * l
             capacity = max(1, int((s / config.num_experts) * config.expert_capacity_factor))
             out = moe_ops.moe_dispatch(
                 flat, routing, lp["experts"], config.hidden_act, eps,
                 capacity=capacity, active_mask=active)
-        else:
+        elif s <= config.num_experts:
+            # Tiny token counts (decode): dense combine avoids sort overhead.
             out = moe_ops.moe_dense(
+                flat, routing, lp["experts"], config.hidden_act, eps,
+                active_mask=active)
+        else:
+            out = moe_ops.moe_ragged(
                 flat, routing, lp["experts"], config.hidden_act, eps,
                 active_mask=active)
         return out.reshape(b, l, d), routing.lb_loss, routing.rz_loss
@@ -391,6 +397,7 @@ def forward(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     output_attentions: bool = False,
+    output_hidden_states: bool = False,
 ) -> LMOutput:
     """Full-sequence forward; returns logits over the TEXT positions (the
     image prefix is sliced off, reference: core.py:1399-1408) and, when
@@ -419,20 +426,33 @@ def forward(
         lp, idx = xs
         layer_rng = (jax.random.fold_in(rngs[1], idx)
                      if rngs[1] is not None else None)
+        h_in = h
         h, _, lb, rz, probs = _layer_full(
             lp, config, h, bias, pos_ids, cos_t, sin_t,
             training=training, rng=layer_rng, want_cache=False,
             want_probs=output_attentions)
-        return (h, lb_acc + lb, rz_acc + rz), probs
+        ys = probs
+        if output_hidden_states:
+            ys = (probs, h_in)
+        return (h, lb_acc + lb, rz_acc + rz), ys
 
     zero = jnp.zeros((), jnp.float32)
     if config.remat and training:
         body = jax.checkpoint(body)
-    (h, lb_loss, rz_loss), all_probs = jax.lax.scan(
+    (h, lb_loss, rz_loss), scan_ys = jax.lax.scan(
         body, (h, zero, zero),
         (params["layers"], jnp.arange(num_layers)))
+    if output_hidden_states:
+        all_probs, layer_inputs = scan_ys
+    else:
+        all_probs, layer_inputs = scan_ys, None
 
     h = _apply_norm(params["final_norm"], h, config.layer_norm_eps)
+    all_hidden = None
+    if output_hidden_states:
+        # Per-layer inputs plus the final post-norm output
+        # (reference: core.py:1249, 1295).
+        all_hidden = jnp.concatenate([layer_inputs, h[None]], axis=0)
 
     if num_img > 0:
         h_text = h[:, num_img:, :]
@@ -447,7 +467,8 @@ def forward(
             loss = loss + lb_loss + rz_loss
     del l_text
     return LMOutput(loss, logits, lb_loss, rz_loss,
-                    all_probs if output_attentions else None)
+                    all_probs if output_attentions else None,
+                    all_hidden)
 
 
 def _lm_head(params: Params, h: jnp.ndarray) -> jnp.ndarray:

@@ -190,6 +190,50 @@ def moe_dispatch(
     return out
 
 
+def moe_ragged(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,
+    hidden_act: str,
+    layer_norm_eps: float,
+    active_mask: Optional[jnp.ndarray] = None,  # (E,) bool
+) -> jnp.ndarray:
+    """Sort-based dispatch with grouped matmuls (``jax.lax.ragged_dot``).
+
+    Token-choice pairs are sorted by expert; each expert's contiguous row
+    group multiplies its own weights on the MXU in one grouped matmul. No
+    capacity limit: every selected (token, expert) pair is computed, so the
+    result equals :func:`moe_dense` exactly (up to fp reassociation) at
+    1/E of its FLOPs. This is the default training/prefill path on TPU.
+    """
+    s, h = x.shape
+    k = routing.indices.shape[1]
+    num_experts = expert_params["w1"].shape[0]
+    act_fn = get_activation(hidden_act)
+
+    flat_e = routing.indices.reshape(-1)                 # (S*K) token-major
+    flat_w = routing.weights.reshape(-1).astype(x.dtype)
+    if active_mask is not None:
+        flat_w = flat_w * active_mask[flat_e].astype(flat_w.dtype)
+
+    order = jnp.argsort(flat_e)                          # stable sort
+    tok = order // k                                     # source token per slot
+    e_sorted = flat_e[order]
+    group_sizes = jnp.bincount(flat_e, length=num_experts).astype(jnp.int32)
+
+    xs = x[tok]                                          # (S*K, H) grouped
+    xn = layer_norm(xs, expert_params["ln_w"][e_sorted],
+                    expert_params["ln_b"][e_sorted], eps=layer_norm_eps)
+    hmid = jax.lax.ragged_dot(xn, expert_params["w1"], group_sizes)
+    hmid = act_fn(hmid + expert_params["b1"][e_sorted])
+    y = jax.lax.ragged_dot(hmid, expert_params["w2"], group_sizes)
+    y = y + expert_params["b2"][e_sorted]
+
+    y = y * flat_w[order][:, None]
+    out = jnp.zeros_like(x)
+    return out.at[tok].add(y)
+
+
 def expert_dropout_mask(
     rng: jax.Array,
     num_experts: int,

@@ -212,6 +212,25 @@ def train_from_config(config_path: str,
     return trainer.train()
 
 
+def get_available_devices() -> list:
+    """Enumerate accelerator devices for the UI (the TPU analogue of the
+    reference's get_available_gpus, pipeline.py:701-707)."""
+    import jax
+
+    try:
+        return [
+            {"id": d.id, "platform": d.platform,
+             "kind": getattr(d, "device_kind", d.platform)}
+            for d in jax.devices()
+        ]
+    except Exception:
+        return []
+
+
+# Backwards-compatible alias matching the reference's name.
+get_available_gpus = get_available_devices
+
+
 class YoloStyleTrainingPipeline:
     """Compat wrapper (reference: pipeline.py:993-998)."""
 
