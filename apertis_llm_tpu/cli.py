@@ -131,6 +131,20 @@ def create_model_command(args) -> None:
     print(f"- Minimal vocabulary saved to: {vocab_path}")
 
 
+def eval_command(args) -> None:
+    from apertis_llm_tpu.evaluation import run_eval
+
+    result = run_eval(
+        model_path=args.model_path,
+        data_path=args.data,
+        task=args.task,
+        tokenizer_path=args.vocab_file,
+        batch_size=args.batch_size,
+        max_items=args.max_items,
+    )
+    print(json.dumps(result, indent=2))
+
+
 def create_config_command(args) -> None:
     from apertis_llm_tpu.training.pipeline import create_sample_config
 
@@ -206,6 +220,17 @@ def build_parser() -> argparse.ArgumentParser:
     moe.add_argument("--use-router-z-loss", type=_bool, default=True)
     moe.add_argument("--use-load-balancing-loss", type=_bool, default=True)
 
+    ev = sub.add_parser("eval", help="Evaluate a model (perplexity / multiple choice)")
+    ev.add_argument("--model-path", type=str, required=True)
+    ev.add_argument("--data", type=str, required=True,
+                    help="JSONL: {text} for perplexity, "
+                         "{question, choices, answer} for multiple_choice")
+    ev.add_argument("--task", type=str, default="perplexity",
+                    choices=["perplexity", "multiple_choice"])
+    ev.add_argument("--vocab-file", type=str)
+    ev.add_argument("--batch-size", type=int, default=8)
+    ev.add_argument("--max-items", type=int)
+
     cfg = sub.add_parser("create-config", help="Create a sample training configuration")
     cfg.add_argument("--output", type=str, default="config.json")
 
@@ -225,6 +250,7 @@ COMMANDS = {
     "create-config": create_config_command,
     "data-pipeline": data_pipeline_command,
     "create-pipeline-config": create_pipeline_config_command,
+    "eval": eval_command,
 }
 
 

@@ -1,0 +1,181 @@
+"""Log-likelihood evaluation over JSONL datasets.
+
+Two tasks:
+  * perplexity — JSONL ``{"text": ...}``; exp of the mean next-token NLL
+    over all (non-pad) tokens.
+  * multiple_choice — JSONL ``{"question": ..., "choices": [...],
+    "answer": <index>}`` (MMLU-style); each choice is scored by the summed
+    log-probability of its tokens conditioned on the question, the argmax
+    is the prediction.
+
+Scoring runs as one jitted log-softmax gather per padded batch; prompts
+bucket to a few static lengths to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models import apertis as model_lib
+
+logger = logging.getLogger(__name__)
+
+_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+def _token_nll_fn(config: ApertisConfig):
+    """Jitted per-position NLL: (params, ids, mask) -> (B, L-1) nll, valid."""
+
+    @jax.jit
+    def run(params, input_ids, attention_mask):
+        out = model_lib.forward(params, config, input_ids,
+                                attention_mask=attention_mask)
+        logp = jax.nn.log_softmax(out.logits[:, :-1].astype(jnp.float32), -1)
+        targets = input_ids[:, 1:]
+        nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+        valid = attention_mask[:, 1:].astype(jnp.float32)
+        return nll, valid
+
+    return run
+
+
+def _pad_batch(rows: List[List[int]], pad_id: int):
+    lmax = _bucket(max(len(r) for r in rows))
+    ids = np.full((len(rows), lmax), pad_id, np.int32)
+    mask = np.zeros((len(rows), lmax), np.int32)
+    for i, r in enumerate(rows):
+        r = r[:lmax]
+        ids[i, :len(r)] = r
+        mask[i, :len(r)] = 1
+    return ids, mask
+
+
+def compute_perplexity(
+    params,
+    config: ApertisConfig,
+    token_rows: Iterable[Sequence[int]],
+    batch_size: int = 8,
+) -> Dict[str, float]:
+    """Perplexity over pre-tokenised rows."""
+    nll_fn = _token_nll_fn(config)
+    total_nll, total_tokens = 0.0, 0
+    batch: List[List[int]] = []
+
+    def flush(batch):
+        nonlocal total_nll, total_tokens
+        if not batch:
+            return
+        while len(batch) < batch_size:
+            batch.append(batch[-1][:2])  # pad rows contribute ~nothing
+        ids, mask = _pad_batch(batch, config.pad_token_id)
+        nll, valid = nll_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        total_nll += float(jnp.sum(nll * valid))
+        total_tokens += int(jnp.sum(valid))
+
+    for row in token_rows:
+        row = list(row)
+        if len(row) < 2:
+            continue
+        batch.append(row)
+        if len(batch) == batch_size:
+            flush(batch)
+            batch = []
+    flush(batch)
+    if total_tokens == 0:
+        return {"perplexity": float("nan"), "tokens": 0}
+    mean_nll = total_nll / total_tokens
+    return {"perplexity": float(np.exp(mean_nll)),
+            "nll_per_token": mean_nll, "tokens": total_tokens}
+
+
+def evaluate_multiple_choice(
+    params,
+    config: ApertisConfig,
+    items: List[Dict[str, Any]],
+    encode: Callable[[str], List[int]],
+    batch_size: int = 8,
+    prompt_template: str = "Question: {question}\nAnswer:",
+) -> Dict[str, float]:
+    """Accuracy by choice log-likelihood (length-normalised and raw)."""
+    nll_fn = _token_nll_fn(config)
+    correct = correct_norm = total = 0
+
+    for item in items:
+        question = prompt_template.format(question=item["question"])
+        q_ids = encode(question)
+        rows, q_lens = [], []
+        for choice in item["choices"]:
+            c_ids = encode(" " + str(choice))
+            rows.append(q_ids + c_ids)
+            q_lens.append(len(q_ids))
+        ids, mask = _pad_batch(rows, config.pad_token_id)
+        nll, valid = nll_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        nll = np.asarray(nll * valid)
+        scores, scores_norm = [], []
+        for i, qlen in enumerate(q_lens):
+            # NLL positions qlen-1 .. len(row)-2 predict the choice tokens.
+            span = nll[i, qlen - 1: len(rows[i]) - 1]
+            scores.append(-span.sum())
+            scores_norm.append(-span.mean() if span.size else -np.inf)
+        answer = int(item["answer"])
+        correct += int(np.argmax(scores) == answer)
+        correct_norm += int(np.argmax(scores_norm) == answer)
+        total += 1
+
+    return {"accuracy": correct / max(total, 1),
+            "accuracy_norm": correct_norm / max(total, 1),
+            "items": total}
+
+
+def run_eval(
+    model_path: str,
+    data_path: str,
+    task: str = "perplexity",
+    tokenizer_path: Optional[str] = None,
+    batch_size: int = 8,
+    max_items: Optional[int] = None,
+) -> Dict[str, float]:
+    """Load a checkpoint and evaluate it on a JSONL dataset."""
+    from apertis_llm_tpu.inference.interface import ApertisInterface
+
+    iface = ApertisInterface(model_path=model_path, vocab_file=tokenizer_path)
+    params, config = iface.params, iface.config
+
+    items = []
+    with open(data_path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                items.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+            if max_items and len(items) >= max_items:
+                break
+
+    if task == "perplexity":
+        rows = [iface.tokenize(it.get("text", "")) for it in items]
+        result = compute_perplexity(params, config, rows, batch_size)
+    elif task == "multiple_choice":
+        result = evaluate_multiple_choice(
+            params, config, items, iface.tokenize, batch_size)
+    else:
+        raise ValueError(f"Unknown eval task: {task}")
+    logger.info("Eval %s on %s: %s", task, data_path, result)
+    return result

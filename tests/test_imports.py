@@ -63,4 +63,4 @@ def test_cli_help():
                 for a in []} if False else set(
         parser._subparsers._group_actions[0].choices.keys())
     assert commands == {"chat", "train", "create-model", "create-config",
-                        "data-pipeline", "create-pipeline-config"}
+                        "data-pipeline", "create-pipeline-config", "eval"}
