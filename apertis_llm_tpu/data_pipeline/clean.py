@@ -15,7 +15,7 @@ import logging
 import os
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 from apertis_llm_tpu.data_pipeline.config import CleanConfig
 from apertis_llm_tpu.data_pipeline.warc import iter_html_responses

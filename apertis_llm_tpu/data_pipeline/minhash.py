@@ -11,7 +11,7 @@ connected components, keeping the smallest id per component.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Iterable, List, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ over key blocks; a second accumulates dK/dV over query blocks.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

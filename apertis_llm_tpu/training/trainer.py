@@ -36,8 +36,7 @@ from apertis_llm_tpu.parallel.mesh import create_mesh
 from apertis_llm_tpu.parallel.sharding import check_divisibility, shard_params
 from apertis_llm_tpu.training.datasets import BatchLoader
 from apertis_llm_tpu.training.step import (
-    TrainState, create_train_state, make_eval_step, make_optimizer,
-    make_train_step)
+    create_train_state, make_eval_step, make_optimizer, make_train_step)
 from apertis_llm_tpu.utils.checkpoint import save_checkpoint
 
 logger = logging.getLogger(__name__)
