@@ -103,6 +103,8 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k):
             jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, lq, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr)
     return out.reshape(b, h, lq, d), lse.reshape(b, h, lq)
 
@@ -249,6 +251,8 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, _, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr, dor, lser, deltar)
 
     dk, dv = pl.pallas_call(
@@ -279,6 +283,8 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, lk, d), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr, dor, lser, deltar)
 
     return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))

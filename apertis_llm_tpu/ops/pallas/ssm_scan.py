@@ -99,6 +99,10 @@ def _scan_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, lp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ROW_BLK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # Row blocks are independent; the chunk dimension carries state
+            # and must stay sequential.
+            dimension_semantics=("parallel", "arbitrary")),
     )(a_p, b_p)
     return out[:m, :l]
 

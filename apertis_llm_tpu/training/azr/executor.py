@@ -64,6 +64,14 @@ class PythonExecutor:
         config = config or {}
         self.timeout = config.get("timeout", 5)
         self.max_output_size = config.get("max_output_size", 10000)
+        # Generated code must never claim the accelerator: scrub TPU/plugin
+        # env so the child interpreter starts CPU-only and fast.
+        self.env = dict(os.environ)
+        for key in list(self.env):
+            if key.startswith(("PALLAS_AXON", "TPU_", "AXON_")):
+                self.env.pop(key)
+        self.env["JAX_PLATFORMS"] = "cpu"
+        self.env.update(config.get("env", {}))
 
     def execute(self, code: str) -> Dict[str, Any]:
         with tempfile.NamedTemporaryFile(
@@ -74,7 +82,7 @@ class PythonExecutor:
             proc = subprocess.Popen(
                 [sys.executable, temp_file],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, encoding="utf-8")
+                text=True, encoding="utf-8", env=self.env)
             try:
                 stdout, stderr = proc.communicate(timeout=self.timeout)
             except subprocess.TimeoutExpired:

@@ -52,7 +52,11 @@ class AbsoluteZeroReasonerTrainer:
         self.stop_event = stop_event or threading.Event()
         # Extension point: called as update_hook(tracker) after each iteration
         # to implement a real policy update over the scored self-play data.
+        # The reference never updates weights (SURVEY.md §3.4); setting
+        # azr.enable_sft_updates installs the built-in SFT update below.
         self.update_hook: Optional[Callable[[SelfPlayTracker], None]] = None
+        if self.azr_config.get("enable_sft_updates", False):
+            self._init_sft_updater()
         logger.info("Initialized all AZR components")
 
     def _setup_logging(self) -> None:
@@ -133,6 +137,87 @@ class AbsoluteZeroReasonerTrainer:
         )
         new_ids = out[0, input_ids.shape[1]:].tolist()
         return self.tokenizer.decode(new_ids, skip_special_tokens=True)
+
+    # -- built-in self-play SFT update ---------------------------------
+    def _init_sft_updater(self) -> None:
+        """Install an update_hook that fine-tunes the policy on the valid
+        (task, solution) pairs collected so far — reward-weighted SFT.
+
+        This makes AZR actually learn from self-play (capability upgrade:
+        the reference checkpoints frozen weights, SURVEY.md §3.4).
+        """
+        import jax
+
+        from apertis_llm_tpu.training.step import (
+            create_train_state, make_optimizer, make_train_step)
+
+        sft_cfg = self.azr_config.get("sft", {})
+        self._sft_max_len = sft_cfg.get("max_length", 256)
+        self._sft_batch = sft_cfg.get("batch_size", 4)
+        self._sft_steps = sft_cfg.get("steps_per_iteration", 4)
+        self._sft_min_reward = sft_cfg.get("min_total_reward", 0.0)
+        tx, _ = make_optimizer(
+            sft_cfg.get("learning_rate", 1e-5),
+            total_steps=self.azr_config.get("num_iterations", 100)
+            * self._sft_steps,
+            gradient_accumulation_steps=1)
+        self._sft_tx = tx
+        self._sft_step_fn = jax.jit(
+            make_train_step(self.config, tx,
+                            self.training_config.get("dtype")),
+            donate_argnums=(0,))
+        self._sft_state = create_train_state(
+            self.engine.params, tx,
+            jax.random.PRNGKey(self.training_config.get("seed", 0)))
+        self._sft_consumed = 0
+        self.update_hook = self._sft_update
+
+    def _sft_update(self, tracker: SelfPlayTracker) -> None:
+        import jax.numpy as jnp
+
+        records = tracker.solution_history[self._sft_consumed:]
+        self._sft_consumed = len(tracker.solution_history)
+        pairs = [
+            (r["task"].get("task", ""), r["solution"].get("solution", ""),
+             r["rewards"].get("total", 0.0))
+            for r in records
+            if r["validation"].get("is_valid", False)
+            and r["rewards"].get("total", 0.0) >= self._sft_min_reward
+        ]
+        if not pairs:
+            return
+        tok, pad = self.tokenizer, (self.tokenizer.pad_token_id or 0)
+        rows, labels_rows = [], []
+        for task, solution, _reward in pairs:
+            prompt_ids = tok(f"### Problem ###\n{task}\n\n### Solution ###",
+                             truncation=True,
+                             max_length=self._sft_max_len // 2)["input_ids"]
+            sol_ids = tok("\n" + solution, truncation=True,
+                          max_length=self._sft_max_len // 2)["input_ids"]
+            ids = (prompt_ids + sol_ids)[: self._sft_max_len]
+            lab = ([-100] * len(prompt_ids) + sol_ids)[: self._sft_max_len]
+            n_pad = self._sft_max_len - len(ids)
+            rows.append(ids + [pad] * n_pad)
+            labels_rows.append(lab + [-100] * n_pad)
+        ids = np.asarray(rows, np.int32)
+        labels = np.asarray(labels_rows, np.int32)
+        mask = (ids != pad).astype(np.int32)
+
+        n = ids.shape[0]
+        reps = -(-self._sft_batch // n)
+        ids = np.tile(ids, (reps, 1))[: self._sft_batch]
+        labels = np.tile(labels, (reps, 1))[: self._sft_batch]
+        mask = np.tile(mask, (reps, 1))[: self._sft_batch]
+        batch = {"input_ids": jnp.asarray(ids),
+                 "attention_mask": jnp.asarray(mask),
+                 "labels": jnp.asarray(labels)}
+        loss = None
+        for _ in range(self._sft_steps):
+            self._sft_state, metrics = self._sft_step_fn(self._sft_state, batch)
+            loss = float(metrics["loss"])
+        # The policy the generators sample from IS the updated one.
+        self.engine.params = self._sft_state.params
+        logger.info("AZR SFT update on %d pairs: loss=%.4f", len(pairs), loss)
 
     # -- main loop ------------------------------------------------------
     def train(self) -> Dict[str, Any]:

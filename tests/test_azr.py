@@ -162,6 +162,45 @@ def test_azr_full_loop(tmp_path):
     assert ckpts and any((c / "pytorch_model.bin").exists() for c in ckpts)
 
 
+def test_azr_sft_updates_change_weights(tmp_path):
+    """With enable_sft_updates, self-play actually trains the policy."""
+    import numpy as np
+
+    from apertis_llm_tpu.training.azr_pipeline import AbsoluteZeroReasonerTrainer
+
+    tok_dir = _make_local_tokenizer(tmp_path)
+    config = {
+        "data": {"tokenizer_name": tok_dir},
+        "model": {"hidden_size": 64, "num_hidden_layers": 1,
+                  "num_attention_heads": 2, "intermediate_size": 128,
+                  "attention_type": "selective_ssm", "ssm_d_state": 8,
+                  "max_position_embeddings": 512,
+                  "hidden_dropout_prob": 0.0,
+                  "attention_probs_dropout_prob": 0.0},
+        "training": {"method": "azr", "output_dir": str(tmp_path / "out"),
+                     "seed": 0},
+        "azr": {
+            "num_iterations": 1,
+            "tasks_per_iteration": 2,
+            "checkpoint_interval": 5,
+            "enable_sft_updates": True,
+            "sft": {"steps_per_iteration": 2, "batch_size": 4,
+                    "max_length": 64, "learning_rate": 1e-3},
+            "task_generator": {"max_new_tokens": 12, "max_attempts": 1,
+                               "seed": 0},
+            "solution_generator": {"max_new_tokens": 12, "max_attempts": 1},
+        },
+    }
+    cfg_path = tmp_path / "azr.json"
+    cfg_path.write_text(json.dumps(config))
+
+    trainer = AbsoluteZeroReasonerTrainer(str(cfg_path))
+    before = np.asarray(trainer.engine.params["embed"]["tok"]).copy()
+    trainer.train()
+    after = np.asarray(trainer.engine.params["embed"]["tok"])
+    assert not np.array_equal(before, after)  # weights moved
+
+
 def test_azr_dispatcher_routes(tmp_path):
     """training.method == azr routes through the top-level dispatcher."""
     from apertis_llm_tpu.training import train_from_config
