@@ -59,7 +59,14 @@ def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    if "w_q" in p:
+        # int8 weights with per-output-channel scales; the dequant multiply
+        # fuses into the matmul's operand load under XLA, so HBM traffic is
+        # the int8 bytes (decode is weight-bandwidth-bound).
+        w = p["w_q"].astype(x.dtype) * p["w_s"].astype(x.dtype)
+        y = x @ w
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y

@@ -1,0 +1,84 @@
+"""Weight-only int8 quantization for serving.
+
+Decode at production batch sizes is bound by weight reads from HBM (the
+whole parameter set streams through VMEM every step). Symmetric per-output-
+channel int8 storage halves that traffic; the dequant multiply fuses into
+each matmul's operand load, so quality-sensitive compute still runs in
+bf16/fp32.
+
+Only 2-D projection matrices inside linear-layer dicts (leaf key ``"w"``)
+are quantized; embeddings (gathered, also the tied LM head — kept high
+precision for logit quality), norms, biases, and SSM per-channel parameters
+stay in their original dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# Linear-dict keys the quantizer is allowed to touch.
+_QUANT_KEYS = {"w"}
+# Parent names whose weights stay high-precision.
+_SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
+                 "router_ln", "dt_proj", "conv", "lm_head"}
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8: w ~= w_q * w_s.
+
+    Scales reduce over the contraction axis (-2), so (in, out) weights get
+    (1, out) scales and stacked (L, in, out) weights get (L, 1, out)."""
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_params(params: Params, min_size: int = 1 << 16) -> Params:
+    """Return a copy of the tree with eligible projection weights stored as
+    ``{"w_q": int8, "w_s": float32}`` (consumed transparently by the model's
+    ``_linear``). ``min_size`` skips small matrices where quantization
+    overhead outweighs the bandwidth win."""
+
+    def walk(tree, name):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for key, value in tree.items():
+            if (key in _QUANT_KEYS and isinstance(value, jnp.ndarray)
+                    and value.ndim in (2, 3) and value.size >= min_size
+                    and jnp.issubdtype(value.dtype, jnp.floating)
+                    and name not in _SKIP_PARENTS):
+                q, s = quantize_weight(value)
+                out["w_q"], out["w_s"] = q, s
+            elif isinstance(value, dict):
+                out[key] = walk(value, key)
+            else:
+                out[key] = value
+        return out
+
+    return walk(params, "")
+
+
+def quantization_error(params: Params, quantized: Params) -> float:
+    """Max relative reconstruction error across quantized weights."""
+    worst = 0.0
+
+    def walk(p, q):
+        nonlocal worst
+        if isinstance(p, dict):
+            if "w" in p and "w_q" in q:
+                recon = q["w_q"].astype(jnp.float32) * q["w_s"]
+                denom = jnp.maximum(jnp.max(jnp.abs(p["w"])), 1e-8)
+                err = float(jnp.max(jnp.abs(recon - p["w"])) / denom)
+                worst = max(worst, err)
+            for key in p:
+                if key in q and isinstance(p[key], dict):
+                    walk(p[key], q[key])
+
+    walk(params, quantized)
+    return worst

@@ -1,0 +1,87 @@
+"""Int8 weight-only quantization: reconstruction, decode quality, engine use."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models import apertis as model_lib
+from apertis_llm_tpu.models.params import init_params
+from apertis_llm_tpu.models.quantize import (
+    quantization_error, quantize_params, quantize_weight)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 128)
+    recon = q.astype(jnp.float32) * s
+    assert float(jnp.max(jnp.abs(recon - w))) < float(jnp.max(s))  # < 1 LSB
+
+    w3 = jnp.asarray(rng.normal(size=(4, 64, 128)), jnp.float32)
+    q3, s3 = quantize_weight(w3)
+    assert s3.shape == (4, 1, 128)
+
+
+def test_quantize_params_structure_and_error():
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+
+    # Projections quantized, embeddings/norms untouched.
+    assert "w_q" in qparams["layers"]["attn"]["in_proj_x"]
+    assert qparams["layers"]["attn"]["in_proj_x"]["w_q"].dtype == jnp.int8
+    assert "w" in qparams["embed"].get("tok", {"w": None}) or \
+        qparams["embed"]["tok"].dtype != jnp.int8
+    assert "scale" in qparams["layers"]["attn"]["pre_norm"] or \
+        "w" in qparams["layers"]["attn"]["pre_norm"]
+    assert quantization_error(params, qparams) < 0.01
+
+
+def test_quantized_decode_close_to_fp32():
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 128, (2, 12)))
+    full = model_lib.forward(params, config, ids).logits
+    quant = model_lib.forward(qparams, config, ids).logits
+    # int8 weight error stays small relative to the logit scale.
+    denom = float(jnp.std(full))
+    err = float(jnp.max(jnp.abs(full - quant))) / denom
+    assert err < 0.35
+
+    # Greedy argmax agrees on the vast majority of positions.
+    agree = float(jnp.mean(
+        (jnp.argmax(full, -1) == jnp.argmax(quant, -1)).astype(jnp.float32)))
+    assert agree > 0.85
+
+
+def test_engine_runs_with_quantized_params():
+    from apertis_llm_tpu.inference.engine import InferenceEngine
+
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=256,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = quantize_params(init_params(jax.random.PRNGKey(0), config),
+                             min_size=1024)
+    engine = InferenceEngine(config, params)
+    out = engine.generate(np.asarray([[1, 5, 9]], np.int32),
+                          max_new_tokens=4, eos_token_id=())
+    assert out.shape == (1, 7)
