@@ -25,6 +25,9 @@ _QUANT_KEYS = {"w"}
 # Parent names whose weights stay high-precision.
 _SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
                  "router_ln", "dt_proj", "conv", "lm_head"}
+# Whole subtrees left untouched: the ViT runs only at prefill (not
+# decode-bandwidth-bound) and reads its weights directly.
+_SKIP_SUBTREES = {"vision", "vision_proj", "cross_modal", "encoder"}
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -46,6 +49,8 @@ def quantize_params(params: Params, min_size: int = 1 << 16) -> Params:
 
     def walk(tree, name):
         if not isinstance(tree, dict):
+            return tree
+        if name in _SKIP_SUBTREES:
             return tree
         out = {}
         for key, value in tree.items():

@@ -6,10 +6,17 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N/10000}
 
 ``vs_baseline`` is the ratio against the BASELINE.json north-star target of
-10,000 decode tokens/sec/chip (v5e). TTFT and other details go to stderr.
+10,000 decode tokens/sec/chip (v5e). TTFT and details go to stderr.
 
-Env knobs: APERTIS_BENCH_PRESET=tiny for a fast smoke run (CPU-friendly),
-APERTIS_BENCH_BATCH to override the decode batch size.
+Measurement protocol (see memory note axon-tpu-tunnel-quirks): every timed
+call uses fresh input buffers (the execution layer caches identical calls),
+and decode rate comes from the delta between a short and a long generation
+so prefill and fixed overheads cancel.
+
+Env knobs:
+  APERTIS_BENCH_PRESET=tiny       fast smoke run (CPU-friendly)
+  APERTIS_BENCH_BATCH=N           decode batch (default 256)
+  APERTIS_BENCH_QUANT=int8        weight-only int8 serving mode
 """
 
 import json
@@ -29,12 +36,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_model(preset: str):
+def build_model(preset: str, quant: str):
     import jax
 
     from apertis_llm_tpu.config import ApertisConfig
     from apertis_llm_tpu.models.factory import calculate_model_dimensions
-    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.models.params import count_params, init_params
 
     if preset == "tiny":
         cfg = dict(hidden_size=256, num_hidden_layers=2, num_attention_heads=4,
@@ -59,76 +66,65 @@ def build_model(preset: str):
         **cfg,
     )
     t0 = time.perf_counter()
-    params = jax.jit(
-        lambda rng: init_params(rng, config), backend=None
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    from apertis_llm_tpu.models.params import count_params
+    params = jax.jit(lambda rng: init_params(rng, config))(jax.random.PRNGKey(0))
+    if quant == "int8":
+        from apertis_llm_tpu.models.quantize import quantize_params
 
+        params = jax.jit(quantize_params)(params)
+    jax.block_until_ready(params)
     log(f"model init: {count_params(params)/1e9:.3f}B params "
-        f"in {time.perf_counter()-t0:.1f}s on {jax.devices()[0].platform}")
+        f"({quant or 'bf16'}) in {time.perf_counter()-t0:.1f}s "
+        f"on {jax.devices()[0].platform}")
     return config, params
 
 
 def main():
     preset = os.environ.get("APERTIS_BENCH_PRESET", "1.5B")
-    batch = int(os.environ.get("APERTIS_BENCH_BATCH", "64" if preset != "tiny" else "4"))
+    quant = os.environ.get("APERTIS_BENCH_QUANT", "")
+    batch = int(os.environ.get("APERTIS_BENCH_BATCH",
+                               "256" if preset != "tiny" else "4"))
     prompt_len = 32
-    n_short, n_long = 16, 144
+    n_short, n_long = 16, (400 if preset != "tiny" else 80)
 
     import numpy as np
     import jax
 
     from apertis_llm_tpu.inference.engine import InferenceEngine
 
-    config, params = build_model(preset)
+    config, params = build_model(preset, quant)
     engine = InferenceEngine(config, params)
 
-    rng = np.random.default_rng(0)
-    # Distinct prompt/pixel buffers per timed call: the execution layer can
-    # cache results for identical (executable, args) pairs, which would make
-    # repeat timings measure nothing.
-    def fresh_inputs(i):
-        r = np.random.default_rng(i)
+    def fresh_inputs(seed):
+        r = np.random.default_rng(seed)
         prompt = r.integers(4, config.vocab_size,
                             size=(batch, prompt_len)).astype(np.int32)
         pixels = r.normal(size=(batch, 3, config.image_size,
                                 config.image_size)).astype(np.float32)
         return prompt, pixels
 
-    gen_kwargs = dict(eos_token_id=(), do_sample=False)
-
-    def timed(n_tokens):
-        prompt, pixels = fresh_inputs(0)
+    def run(n_tokens, seed):
+        prompt, pixels = fresh_inputs(seed)
         t0 = time.perf_counter()
         engine.generate(prompt, pixel_values=pixels, max_new_tokens=n_tokens,
-                        rng=jax.random.PRNGKey(0), **gen_kwargs)
-        compile_s = time.perf_counter() - t0
-        best = float("inf")
-        out = None
-        for i in range(1, 3):
-            prompt, pixels = fresh_inputs(i)
-            t0 = time.perf_counter()
-            out = engine.generate(prompt, pixel_values=pixels,
-                                  max_new_tokens=n_tokens,
-                                  rng=jax.random.PRNGKey(i), **gen_kwargs)
-            best = min(best, time.perf_counter() - t0)
-        return best, compile_s, out
+                        eos_token_id=(), do_sample=False,
+                        rng=jax.random.PRNGKey(seed))
+        return time.perf_counter() - t0
 
-    t_short, c_short, _ = timed(n_short)
-    log(f"gen {n_short} tokens: {t_short:.3f}s (compile {c_short:.1f}s)")
-    t_long, c_long, out = timed(n_long)
-    log(f"gen {n_long} tokens: {t_long:.3f}s (compile {c_long:.1f}s)")
+    c1 = run(n_short, 0)   # compile short
+    c2 = run(n_long, 0)    # compile long
+    log(f"compiles: short {c1:.1f}s, long {c2:.1f}s")
+    t_short = min(run(n_short, i) for i in (1, 2))
+    t_long = min(run(n_long, i) for i in (3, 4))
+    steps = n_long - n_short
+    decode_tps = batch * steps / max(t_long - t_short, 1e-9)
+    per_step_ms = (t_long - t_short) / steps * 1e3
+    log(f"decode: {decode_tps:,.0f} tok/s/chip ({per_step_ms:.2f} ms/step, "
+        f"batch {batch});  TTFT+16tok(batch) = {t_short*1e3:.0f} ms")
 
-    # Subtracting the short run removes prefill + fixed overheads.
-    decode_tps = batch * (n_long - n_short) / max(t_long - t_short, 1e-9)
-    per_step_ms = (t_long - t_short) / (n_long - n_short) * 1e3
-    ttft_est = t_short - per_step_ms * 1e-3 * n_short
-    log(f"decode: {decode_tps:,.0f} tok/s/chip  ({per_step_ms:.2f} ms/step, "
-        f"batch {batch});  TTFT(batch) ~ {ttft_est*1e3:.0f} ms")
-
+    suffix = f"_{quant}" if quant else ""
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_per_chip_{preset}_multimodal_ssm",
+        "metric": f"decode_tokens_per_sec_per_chip_{preset}_multimodal_ssm"
+                  f"_b{batch}{suffix}",
         "value": round(decode_tps, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(decode_tps / 10000.0, 3),

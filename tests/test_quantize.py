@@ -70,6 +70,25 @@ def test_quantized_decode_close_to_fp32():
     assert agree > 0.85
 
 
+def test_quantized_multimodal_forward():
+    """Vision subtree must stay untouched (its weights are read directly)."""
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=256, multimodal=True,
+                           image_size=32, vision_patch_size=8,
+                           vision_embed_dim=64, vision_layers=1,
+                           vision_heads=4,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+    assert "w" in qparams["vision"]["patch_embed"]  # not quantized
+    ids = jnp.asarray([[1, 5, 9]])
+    pixels = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    out = model_lib.forward(qparams, config, ids, pixel_values=pixels)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
 def test_engine_runs_with_quantized_params():
     from apertis_llm_tpu.inference.engine import InferenceEngine
 
