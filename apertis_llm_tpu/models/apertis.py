@@ -361,6 +361,12 @@ def assemble_inputs(
 
     num_img = 0
     if config.multimodal and pixel_values is not None:
+        if pixel_values.dtype == jnp.uint8 or pixel_values.shape[-1] == 3:
+            # Raw (B, H, W, 3) images: resize + normalise in-graph. Shipping
+            # uint8 quarters the host->device transfer at prefill.
+            from apertis_llm_tpu.models.vit import preprocess_images
+
+            pixel_values = preprocess_images(pixel_values, config.image_size)
         img = vit_encode(params["vision"], config, pixel_values)
         if "vision_proj" in params:
             img = _linear(params["vision_proj"], img)

@@ -70,6 +70,23 @@ def test_output_hidden_states_and_attentions():
     np.testing.assert_allclose(sums, 1.0, atol=1e-5)
 
 
+def test_raw_uint8_images_accepted_in_forward():
+    config = ApertisConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           multimodal=True, image_size=32,
+                           vision_patch_size=8, vision_embed_dim=64,
+                           vision_layers=1, vision_heads=4,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    ids = jnp.asarray([[1, 5, 9]])
+    raw = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (1, 48, 40, 3)), jnp.uint8)  # arbitrary size, HWC uint8
+    out = model_lib.forward(params, config, ids, pixel_values=raw)
+    assert out.logits.shape == (1, 3, 64)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
 def test_get_available_devices():
     from apertis_llm_tpu.training.pipeline import (
         get_available_devices, get_available_gpus)
