@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -60,16 +62,29 @@ def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q" in p:
-        # int8 weights with per-output-channel scales; the dequant multiply
-        # fuses into the matmul's operand load under XLA, so HBM traffic is
-        # the int8 bytes (decode is weight-bandwidth-bound).
-        w = p["w_q"].astype(x.dtype) * p["w_s"].astype(x.dtype)
-        y = x @ w
+        # int8 weights with per-output-channel scales. On TPU the fused
+        # Pallas kernel reads int8 from HBM and dequantises in VMEM (XLA's
+        # own dequant fusion is shape-dependent); elsewhere the dequant
+        # expression is used directly.
+        if _on_tpu():
+            from apertis_llm_tpu.ops.pallas.quant_matmul import quant_matmul
+
+            y = quant_matmul(x, p["w_q"], p["w_s"])
+        else:
+            y = x @ (p["w_q"].astype(x.dtype) * p["w_s"].astype(x.dtype))
     else:
         y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _flash_eligible(config: ApertisConfig, seq_len: int, head_dim: int) -> bool:

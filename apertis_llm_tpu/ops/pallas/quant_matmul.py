@@ -1,0 +1,115 @@
+"""Fused int8-weight matmul Pallas kernel (weight-only quantized serving).
+
+Computes ``x @ (w_q * w_s)`` reading the weights from HBM as int8 — half the
+bytes of bf16 — and dequantising in VMEM right before the MXU. XLA can fuse
+the dequant multiply into the dot for some shapes but not others (measured:
+1.57x at batch 64, 0.4x at batch 256); this kernel makes the bandwidth win
+deterministic.
+
+Decode matmuls are skinny (x rows = batch, K/N in the thousands), so the
+grid tiles (N, K) with a float32 VMEM accumulator over the K dimension and
+the whole x block resident.
+
+Serving-only: differentiation falls back to the XLA dequant expression via
+custom_vjp, so training through a quantized layer still works (it just
+doesn't use the kernel on the backward pass).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_N = 512
+BLOCK_K = 512
+
+
+def _kernel(x_ref, wq_ref, ws_ref, o_ref, acc_ref):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]                                        # (M, BK) bf16/f32
+    w = wq_ref[:].astype(x.dtype)                       # (BK, BN) int8 -> x dtype
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * ws_ref[0]).astype(o_ref.dtype)
+
+
+def _pad_axis(x, axis, mult):
+    pad = -x.shape[axis] % mult
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x
+
+
+def _quant_matmul_impl(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray):
+    m, k = x.shape
+    _, n = w_q.shape
+    block_k = min(BLOCK_K, k)
+    block_n = min(BLOCK_N, n)
+    xp = _pad_axis(x, 1, block_k)
+    wqp = _pad_axis(_pad_axis(w_q, 0, block_k), 1, block_n)
+    wsp = _pad_axis(w_s.reshape(1, -1), 1, block_n)
+    kp, np_ = wqp.shape
+    # Rows of x: pad to the dtype's sublane multiple.
+    row_mult = 16 if x.dtype == jnp.bfloat16 else 8
+    xp = _pad_axis(xp, 0, row_mult)
+    mp = xp.shape[0]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(np_ // block_n, kp // block_k),
+        in_specs=[
+            pl.BlockSpec((mp, block_k), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mp, block_n), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(xp, wqp, wsp)
+    return out[:m, :n]
+
+
+@jax.custom_vjp
+def quant_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray):
+    """x (..., K) @ dequant(w_q (K, N), w_s (1, N) or (N,)) -> (..., N)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _quant_matmul_impl(x2, w_q, w_s.reshape(-1))
+    return out.reshape(*lead, w_q.shape[-1])
+
+
+def _fwd(x, w_q, w_s):
+    return quant_matmul(x, w_q, w_s), (x, w_q, w_s)
+
+
+def _bwd(res, g):
+    x, w_q, w_s = res
+    # Serving kernels don't train the quantized weights; dx flows through
+    # the dequantised weight, dw is None-like zeros.
+    w = w_q.astype(g.dtype) * w_s.reshape(1, -1).astype(g.dtype)
+    dx = g @ w.T
+    return dx, jnp.zeros_like(w_q), jnp.zeros_like(w_s)
+
+
+quant_matmul.defvjp(_fwd, _bwd)
