@@ -24,24 +24,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BLOCK_M = 512
 BLOCK_N = 512
 BLOCK_K = 512
 
 
 def _kernel(x_ref, wq_ref, ws_ref, o_ref, acc_ref):
-    ki = pl.program_id(1)
+    ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]                                        # (M, BK) bf16/f32
+    x = x_ref[:]                                        # (BM, BK) bf16/f32
     w = wq_ref[:].astype(x.dtype)                       # (BK, BN) int8 -> x dtype
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    @pl.when(ki == pl.num_programs(1) - 1)
+    @pl.when(ki == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = (acc_ref[:] * ws_ref[0]).astype(o_ref.dtype)
 
@@ -60,32 +61,32 @@ def _quant_matmul_impl(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray):
     _, n = w_q.shape
     block_k = min(BLOCK_K, k)
     block_n = min(BLOCK_N, n)
-    xp = _pad_axis(x, 1, block_k)
+    # Rows of x: pad to the dtype's sublane multiple, then tile.
+    row_mult = 16 if x.dtype == jnp.bfloat16 else 8
+    block_m = min(BLOCK_M, -(-m // row_mult) * row_mult)
+    xp = _pad_axis(_pad_axis(x, 1, block_k), 0, block_m)
     wqp = _pad_axis(_pad_axis(w_q, 0, block_k), 1, block_n)
     wsp = _pad_axis(w_s.reshape(1, -1), 1, block_n)
-    kp, np_ = wqp.shape
-    # Rows of x: pad to the dtype's sublane multiple.
-    row_mult = 16 if x.dtype == jnp.bfloat16 else 8
-    xp = _pad_axis(xp, 0, row_mult)
     mp = xp.shape[0]
+    kp, np_ = wqp.shape
 
     out = pl.pallas_call(
         _kernel,
-        grid=(np_ // block_n, kp // block_k),
+        grid=(mp // block_m, np_ // block_n, kp // block_k),
         in_specs=[
-            pl.BlockSpec((mp, block_k), lambda ni, ki: (0, ki),
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda ni, ki: (ki, ni),
+            pl.BlockSpec((block_k, block_n), lambda mi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda ni, ki: (0, ni),
+            pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((mp, block_n), lambda ni, ki: (0, ni),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
-        scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(xp, wqp, wsp)
     return out[:m, :n]
 

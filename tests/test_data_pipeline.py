@@ -104,6 +104,32 @@ def test_pipeline_clean_dedup_tokenize(tmp_path):
     assert any(4 in r for r in rows)  # "the" mapped through the vocab
 
 
+def test_spark_backend_falls_back_to_local(tmp_path):
+    """backend: spark without pyspark installed degrades to the local
+    backend instead of failing."""
+    import importlib.util
+
+    if importlib.util.find_spec("pyspark") is not None:
+        pytest.skip("pyspark installed; fallback not exercised")
+
+    from apertis_llm_tpu.data_pipeline.config import (
+        DataPipelineConfig, DeduplicateConfig)
+    from apertis_llm_tpu.data_pipeline.main import run_pipeline
+
+    src = tmp_path / "clean"
+    src.mkdir()
+    (src / "a.txt").write_text("some document text here\n\nanother doc")
+    config = DataPipelineConfig(
+        stages=["deduplicate"],
+        deduplicate=DeduplicateConfig(input_dir=str(src),
+                                      output_dir=str(tmp_path / "out"),
+                                      num_partitions=1),
+        backend="spark",
+    )
+    results = run_pipeline(config)
+    assert results["deduplicate"][0] == 2
+
+
 def test_yaml_config_roundtrip(tmp_path):
     from apertis_llm_tpu.data_pipeline.config import (
         DataPipelineConfig, create_sample_pipeline_config)
