@@ -78,7 +78,60 @@ def build_model(preset: str, quant: str):
     return config, params
 
 
+def bench_training():
+    """Secondary metric: selective-SSM training throughput on one chip
+    (APERTIS_BENCH_MODE=train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.step import (
+        create_train_state, make_optimizer, make_train_step)
+
+    config = ApertisConfig(
+        vocab_size=32000, hidden_size=1024, num_hidden_layers=12,
+        num_attention_heads=16, intermediate_size=4096,
+        attention_type="selective_ssm", ssm_d_state=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=2048)
+    b, l = 4, 1024
+    params = jax.jit(lambda r: init_params(r, config))(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(1e-4, 1000)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, l), 4, 32000)
+    batch = {"input_ids": ids, "labels": ids}
+    step_fn = jax.jit(make_train_step(config, tx, "bfloat16"),
+                      donate_argnums=(0,))
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    state, m = step_fn(state, batch)
+    log(f"train compile+1st: loss={float(m['loss']):.3f}")
+
+    def chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n):
+            state, met = step_fn(state, batch)
+            last = met["loss"]
+        float(last)
+        return time.perf_counter() - t0
+
+    t4, t16 = chain(4), chain(16)
+    slope = (t16 - t4) / 12
+    tps = b * l / slope
+    log(f"train: {slope*1e3:.1f} ms/step -> {tps:,.0f} tok/s")
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip_165M_ssm_bf16",
+        "value": round(tps, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tps / 10000.0, 3),
+    }))
+
+
 def main():
+    if os.environ.get("APERTIS_BENCH_MODE") == "train":
+        bench_training()
+        return
     preset = os.environ.get("APERTIS_BENCH_PRESET", "1.5B")
     quant = os.environ.get("APERTIS_BENCH_QUANT", "")
     batch = int(os.environ.get("APERTIS_BENCH_BATCH",
@@ -98,8 +151,10 @@ def main():
         r = np.random.default_rng(seed)
         prompt = r.integers(4, config.vocab_size,
                             size=(batch, prompt_len)).astype(np.int32)
-        pixels = r.normal(size=(batch, 3, config.image_size,
-                                config.image_size)).astype(np.float32)
+        # Raw uint8 HWC images: resize/normalise happen on device, and the
+        # host->device transfer is 4x smaller than fp32 CHW.
+        pixels = r.integers(0, 255, size=(batch, config.image_size,
+                                          config.image_size, 3)).astype(np.uint8)
         return prompt, pixels
 
     def run(n_tokens, seed):
