@@ -399,6 +399,16 @@ def assemble_inputs(
     return embeds, position_ids, attention_mask, num_img
 
 
+def _rope_tables_if_needed(config: ApertisConfig):
+    """RoPE tables for the MHA path; None for SSM/absolute models (the
+    tables are (P, D/2) arrays — not worth materialising when unused)."""
+    if (config.attention_type == "selective_ssm"
+            or config.position_embedding_type != "rotary"):
+        return None, None
+    return rope_tables(config.hidden_size, config.max_position_embeddings,
+                       config.rope_theta)
+
+
 def _build_bias(attention_mask: jnp.ndarray, q_len: int, past_len: int,
                 dtype=jnp.float32) -> jnp.ndarray:
     """Combined causal x padding additive bias (B, 1, q_len, kv_len)
@@ -444,8 +454,7 @@ def forward(
     rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
     h = _dropout(rngs[0], embeds, config.hidden_dropout_prob, training)
 
-    cos_t, sin_t = rope_tables(
-        config.hidden_size, config.max_position_embeddings, config.rope_theta)
+    cos_t, sin_t = _rope_tables_if_needed(config)
 
     num_layers = config.num_hidden_layers
 
@@ -563,8 +572,7 @@ def prefill(
         params, config, input_ids, attention_mask, position_ids, pixel_values)
     l_total = embeds.shape[1]
     bias = _build_bias(attention_mask, l_total, 0, jnp.float32)
-    cos_t, sin_t = rope_tables(
-        config.hidden_size, config.max_position_embeddings, config.rope_theta)
+    cos_t, sin_t = _rope_tables_if_needed(config)
     seq_mask = attention_mask
     seq_lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
@@ -622,10 +630,15 @@ def decode_step(
     if config.position_embedding_type == "absolute" and "abs_pos" in params:
         h = h + jnp.take(params["abs_pos"]["emb"], pos, axis=0)
 
-    cos_t, sin_t = rope_tables(
-        config.hidden_size, config.max_position_embeddings, config.rope_theta)
     eps = config.layer_norm_eps
     is_ssm = config.attention_type == "selective_ssm"
+    if is_ssm or config.position_embedding_type != "rotary":
+        # SSM decode never touches RoPE; don't build the (P, D/2) tables
+        # inside the decode loop body.
+        cos_t = sin_t = None
+    else:
+        cos_t, sin_t = rope_tables(
+            config.hidden_size, config.max_position_embeddings, config.rope_theta)
 
     if not is_ssm:
         max_len = cache["k"].shape[3]
