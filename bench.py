@@ -171,8 +171,16 @@ def main():
     t_short = min(run(n_short, i) for i in (1, 2))
     t_long = min(run(n_long, i) for i in (3, 4))
     steps = n_long - n_short
-    decode_tps = batch * steps / max(t_long - t_short, 1e-9)
-    per_step_ms = (t_long - t_short) / steps * 1e3
+    delta = t_long - t_short
+    if delta > 0.2 * t_long:
+        decode_tps = batch * steps / delta
+        per_step_ms = delta / steps * 1e3
+    else:
+        # Delta within noise (tiny models): report the conservative
+        # end-to-end rate instead of a meaningless difference.
+        decode_tps = batch * n_long / t_long
+        per_step_ms = t_long / n_long * 1e3
+        log("note: short/long delta within noise; reporting end-to-end rate")
     log(f"decode: {decode_tps:,.0f} tok/s/chip ({per_step_ms:.2f} ms/step, "
         f"batch {batch});  TTFT+16tok(batch) = {t_short*1e3:.0f} ms")
 

@@ -70,6 +70,38 @@ def test_output_hidden_states_and_attentions():
     np.testing.assert_allclose(sums, 1.0, atol=1e-5)
 
 
+def test_multimodal_streaming_chat(tmp_path):
+    """The examples/multimodal_chat.py path: image + streaming messages API."""
+    import json
+
+    from apertis_llm_tpu.inference.interface import ApertisInference
+    from apertis_llm_tpu.models.convert import save_torch_checkpoint
+    from apertis_llm_tpu.utils.images import create_sample_image
+
+    config = ApertisConfig(vocab_size=32, hidden_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=128,
+                           multimodal=True, image_size=32,
+                           vision_patch_size=8, vision_embed_dim=64,
+                           vision_layers=1, vision_heads=4,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    save_torch_checkpoint(params, config, tmp_path, filename="model.pt")
+    (tmp_path / "vocab.json").write_text(json.dumps(
+        {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3, "hi": 4}))
+    img = tmp_path / "img.png"
+    create_sample_image(str(img), size=32)
+
+    inf = ApertisInference(model_path=str(tmp_path),
+                           vocab_file=str(tmp_path / "vocab.json"),
+                           multimodal=True)
+    chunks = list(inf.chat(messages=[{"role": "user", "content": "hi"}],
+                           image_path=str(img), stream=True,
+                           max_new_tokens=3, temperature=0.0))
+    assert len(chunks) >= 1
+    assert isinstance(chunks[-1], str)
+
+
 def test_raw_uint8_images_accepted_in_forward():
     config = ApertisConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
                            num_attention_heads=2, intermediate_size=64,
