@@ -28,13 +28,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-# Persistent compilation cache: first compiles through the remote compile
-# service cost minutes; cache them across processes/rounds.
-import jax as _jax
-_jax.config.update("jax_compilation_cache_dir", "/tmp/apertis_jax_cache")
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-
 import logging
 
 logging.disable(logging.WARNING)
