@@ -67,6 +67,44 @@ def test_greedy_generate_matches_reference(variant):
 
 
 @requires_ref
+def test_greedy_multimodal_generate_self_consistent():
+    """Image-prefixed cached decode matches a full-forward greedy loop.
+
+    Note: the REFERENCE's own multimodal generate crashes (its generate
+    pre-offsets position_ids for the image prefix AND model.forward prefixes
+    them again, producing mismatched RoPE shapes — core.py:1562-1571 vs
+    1212-1221), so token-level parity is pinned against our full forward
+    (which IS logit-parity-tested against the reference in
+    test_parity.py::test_logit_parity_multimodal) instead of against the
+    broken reference loop.
+    """
+    import jax.numpy as jnp
+
+    from apertis_llm_tpu.models import apertis as model_lib
+
+    _, engine = _build(dict(multimodal=True, image_size=32,
+                            vision_patch_size=8, vision_embed_dim=48,
+                            vision_layers=1, vision_heads=4))
+    config, params = engine.config, engine.params
+    rng = np.random.default_rng(5)
+    prompt = np.array([[1, 5, 9, 33]], dtype=np.int32)
+    pixels = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+
+    # Uncached greedy loop through the full forward.
+    ids = prompt.copy()
+    for _ in range(6):
+        logits = model_lib.forward(params, config, jnp.asarray(ids),
+                                   pixel_values=jnp.asarray(pixels)).logits
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ids = np.concatenate([ids, [[nxt]]], axis=1)
+    ref_new = ids[0, prompt.shape[1]:].tolist()
+
+    out = engine.generate(prompt, pixel_values=pixels,
+                          max_new_tokens=6, eos_token_id=())
+    assert out[0, -6:].tolist() == ref_new
+
+
+@requires_ref
 def test_greedy_with_repetition_penalty_matches_reference():
     import torch
 

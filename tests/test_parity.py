@@ -90,6 +90,33 @@ def test_logit_parity(variant):
 
 
 @requires_ref
+def test_logit_parity_multimodal():
+    """ViT prefix fusion: identical pixel tensors -> identical text logits
+    (pins the in-graph ViT against torch TransformerEncoderLayer)."""
+    import torch
+
+    overrides = dict(multimodal=True, image_size=32, vision_patch_size=8,
+                     vision_embed_dim=48, vision_layers=2, vision_heads=4)
+    ref_model, config, params = _build_pair(overrides)
+
+    rng = np.random.default_rng(11)
+    input_ids = rng.integers(4, config.vocab_size, size=(2, 9)).astype(np.int64)
+    pixels = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = ref_model(input_ids=torch.from_numpy(input_ids),
+                        pixel_values=torch.from_numpy(pixels),
+                        use_cache=False)[1].numpy()
+    ours = np.asarray(model_lib.forward(
+        params, config, jnp.asarray(input_ids),
+        pixel_values=jnp.asarray(pixels)).logits)
+
+    assert ref.shape == ours.shape  # logits sliced to text positions
+    err = np.max(np.abs(ref - ours))
+    assert err < 1e-3, f"multimodal: max logit error {err}"
+
+
+@requires_ref
 def test_logit_parity_padded_batch():
     ref_model, config, params = _build_pair({})
     rng = np.random.default_rng(7)
