@@ -45,3 +45,34 @@ def create_mesh(
 
 def single_device_mesh() -> Mesh:
     return create_mesh(jax.devices()[:1], (1, 1, 1))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> bool:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with arguments
+    from the environment when not given (the TPU-native replacement for the
+    reference's ``dist.init_process_group``, pipeline.py:439-441).
+
+    Returns True when running multi-process after the call. Safe to call on
+    a single host (no-op if no coordinator is configured).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        elif os.environ.get("TPU_WORKER_HOSTNAMES"):
+            jax.distributed.initialize()  # TPU-VM auto-discovery
+    except Exception as e:  # single-host or already initialised
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed not initialised (%s); running single-process.", e)
+    return jax.process_count() > 1

@@ -169,6 +169,15 @@ class ApertisTrainer:
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        if jax.process_count() > 1:
+            # Multi-host: every process loads the full global batch (the
+            # loader is deterministic across hosts), and each device picks
+            # its shard out of it.
+            return {
+                k: jax.make_array_from_callback(
+                    v.shape, self._batch_sharding, lambda idx, v=v: v[idx])
+                for k, v in batch.items()
+            }
         return jax.device_put(batch, self._batch_sharding)
 
     def save_checkpoint(self, name: str) -> None:
