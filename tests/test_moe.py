@@ -70,6 +70,43 @@ def test_expert_dropout_mask_keeps_one():
     assert int(jnp.sum(mask)) >= 1
 
 
+def test_training_with_all_moe_features():
+    """Noisy routing + capacity limit + expert dropout + both aux losses,
+    all active in a real train step (grads finite, aux losses non-zero)."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models import apertis as model_lib
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.step import (
+        create_train_state, make_optimizer, make_train_step)
+
+    config = ApertisConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        use_expert_system=True, num_experts=4, experts_per_token=2,
+        use_noisy_top_k_routing=True, use_expert_capacity_limit=True,
+        use_expert_dropout=True, expert_dropout_prob=0.3,
+        use_router_z_loss=True, use_load_balancing_loss=True,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 64, (4, 16)))
+    out = model_lib.forward(params, config, ids, labels=ids,
+                            training=True, rng=jax.random.PRNGKey(1))
+    assert float(out.lb_loss) > 0.0
+    assert float(out.rz_loss) > 0.0
+    assert np.isfinite(float(out.loss))
+
+    tx, _ = make_optimizer(1e-3, 10)
+    step = jax.jit(make_train_step(config, tx))
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids),
+             "labels": ids}
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+
+
 def test_ragged_grads_match_dense():
     x, routing, params = _setup(s=32)
 
