@@ -162,6 +162,33 @@ def test_eos_stops_generation():
     assert all(t == engine.config.pad_token_id for t in new[1:])
 
 
+def test_min_new_tokens_overrides_early_eos():
+    if core is None:
+        pytest.skip("reference oracle unavailable")
+    _, engine = _build({})
+    prompt = np.array([[1, 5, 9]], dtype=np.int32)
+    first = int(engine.generate(prompt, max_new_tokens=1, eos_token_id=())[0, -1])
+    # EOS would fire immediately, but min_new_tokens keeps the loop running.
+    out = engine.generate(prompt, max_new_tokens=6, min_new_tokens=4,
+                          eos_token_id=(first,))
+    assert out.shape[1] - 3 >= 4
+
+
+def test_multiple_eos_ids():
+    if core is None:
+        pytest.skip("reference oracle unavailable")
+    _, engine = _build({})
+    prompt = np.array([[1, 5, 9]], dtype=np.int32)
+    seq = engine.generate(prompt, max_new_tokens=6, eos_token_id=())[0, 3:]
+    # Use the SECOND emitted token as one of several eos ids.
+    second = int(seq[1])
+    out = engine.generate(prompt, max_new_tokens=6,
+                          eos_token_id=(99999 % engine.config.vocab_size, second))
+    new = out[0, 3:].tolist()
+    stop = new.index(second)
+    assert all(t == engine.config.pad_token_id for t in new[stop + 1:])
+
+
 def test_stream_matches_generate():
     if core is None:
         pytest.skip("reference oracle unavailable")
