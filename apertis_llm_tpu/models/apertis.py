@@ -60,13 +60,39 @@ def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return layer_norm(x, p["w"], p["b"], eps=eps)
 
 
+def _quant_mode() -> str:
+    """APERTIS_QUANT_MATMUL: 'weightonly' (XLA dequant expression — exact
+    math, bandwidth-bound win at small batch: 4.1x bf16 measured at M=64),
+    'dyn' (int8 x int8 on the MXU via XLA's native int8 dot with per-row
+    activation quantization — 2.4x bf16 matmul throughput measured at M=256,
+    ~0.5% activation rounding error), 'pallas' (the hand-written dequant
+    kernel; measured slower than XLA's own int8 pipelines at decode shapes,
+    kept for comparison), or 'auto' (default: dyn once the token dimension
+    saturates the MXU, else weightonly)."""
+    import os
+
+    return os.environ.get("APERTIS_QUANT_MATMUL", "auto")
+
+
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q" in p:
-        # int8 weights with per-output-channel scales. On TPU the fused
-        # Pallas kernel reads int8 from HBM and dequantises in VMEM (XLA's
-        # own dequant fusion is shape-dependent); elsewhere the dequant
-        # expression is used directly.
-        if _on_tpu():
+        # int8 weights with per-output-channel scales. Small row counts
+        # (decode at modest batch) are weight-bandwidth-bound: XLA's dequant
+        # fusion reads int8 and converts in VMEM better than our Pallas
+        # tiling (measured 0.24 vs 1.11 ms on a decode-shaped chain at
+        # M=64). MXU-saturating row counts switch to XLA's native int8 dot
+        # with dynamic activation quantization (449 vs 190 bf16 TFLOP/s at
+        # M=256).
+        mode = _quant_mode() if _on_tpu() else "weightonly"
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if mode == "dyn" or (mode == "auto" and rows >= 128):
+            from apertis_llm_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_dyn_xla)
+
+            y = quant_matmul_dyn_xla(x, p["w_q"], p["w_s"])
+        elif mode == "pallas":
             from apertis_llm_tpu.ops.pallas.quant_matmul import quant_matmul
 
             y = quant_matmul(x, p["w_q"], p["w_s"])
