@@ -83,7 +83,9 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # M=64). MXU-saturating row counts switch to XLA's native int8 dot
         # with dynamic activation quantization (449 vs 190 bf16 TFLOP/s at
         # M=256).
-        mode = _quant_mode() if _on_tpu() else "weightonly"
+        mode = _quant_mode()
+        if not _on_tpu() and mode != "dyn":
+            mode = "weightonly"          # Pallas/auto-dyn are TPU-tuned
         rows = 1
         for d in x.shape[:-1]:
             rows *= d

@@ -104,3 +104,26 @@ def test_engine_runs_with_quantized_params():
     out = engine.generate(np.asarray([[1, 5, 9]], np.int32),
                           max_new_tokens=4, eos_token_id=())
     assert out.shape == (1, 7)
+
+
+def test_dyn_mode_decode_close_to_weightonly(monkeypatch):
+    """APERTIS_QUANT_MATMUL=dyn routes through the int8-dot path end to end;
+    greedy logits stay close to the weight-only dequant path."""
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "dyn")
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+    ids = jnp.asarray(np.random.default_rng(1).integers(4, 128, (2, 12)))
+
+    dyn = model_lib.forward(qparams, config, ids).logits
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "weightonly")
+    wo = model_lib.forward(qparams, config, ids).logits
+    # Per-row int8 activation rounding: close but not identical.
+    scale = float(jnp.max(jnp.abs(wo)))
+    assert float(jnp.max(jnp.abs(dyn - wo))) < 0.05 * max(scale, 1.0)
+    assert (jnp.argmax(dyn[:, -1], -1) == jnp.argmax(wo[:, -1], -1)).all()
