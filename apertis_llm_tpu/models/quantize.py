@@ -6,10 +6,11 @@ channel int8 storage halves that traffic; the dequant multiply fuses into
 each matmul's operand load, so quality-sensitive compute still runs in
 bf16/fp32.
 
-Only 2-D projection matrices inside linear-layer dicts (leaf key ``"w"``)
-are quantized; embeddings (gathered, also the tied LM head — kept high
-precision for logit quality), norms, biases, and SSM per-channel parameters
-stay in their original dtype.
+Projection matrices inside linear-layer dicts (leaf key ``"w"``) and MoE
+expert stacks (``"w1"``/``"w2"``, dequantised on use in ops/moe.py) are
+quantized; embeddings (gathered, also the tied LM head — kept high
+precision for logit quality), norms, biases, router, and SSM per-channel
+parameters stay in their original dtype.
 """
 
 from __future__ import annotations
@@ -20,8 +21,11 @@ import jax.numpy as jnp
 
 Params = Dict[str, Any]
 
-# Linear-dict keys the quantizer is allowed to touch.
-_QUANT_KEYS = {"w"}
+# Linear-dict keys the quantizer is allowed to touch. Plain linears store
+# 2-D "w" (stacked 3-D over layers); MoE expert stacks store 3-D "w1"/"w2"
+# (E, in, out), stacked 4-D over layers — the contraction axis is -2 in
+# every case, so per-output-channel scales come from the same reduction.
+_QUANT_KEYS = {"w": (2, 3), "w1": (3, 4), "w2": (3, 4)}
 # Parent names whose weights stay high-precision.
 _SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
                  "router_ln", "dt_proj", "conv", "lm_head"}
@@ -55,11 +59,12 @@ def quantize_params(params: Params, min_size: int = 1 << 16) -> Params:
         out = {}
         for key, value in tree.items():
             if (key in _QUANT_KEYS and isinstance(value, jnp.ndarray)
-                    and value.ndim in (2, 3) and value.size >= min_size
+                    and value.ndim in _QUANT_KEYS[key]
+                    and value.size >= min_size
                     and jnp.issubdtype(value.dtype, jnp.floating)
                     and name not in _SKIP_PARENTS):
                 q, s = quantize_weight(value)
-                out["w_q"], out["w_s"] = q, s
+                out[key + "_q"], out[key + "_s"] = q, s
             elif isinstance(value, dict):
                 out[key] = walk(value, key)
             else:
@@ -76,11 +81,12 @@ def quantization_error(params: Params, quantized: Params) -> float:
     def walk(p, q):
         nonlocal worst
         if isinstance(p, dict):
-            if "w" in p and "w_q" in q:
-                recon = q["w_q"].astype(jnp.float32) * q["w_s"]
-                denom = jnp.maximum(jnp.max(jnp.abs(p["w"])), 1e-8)
-                err = float(jnp.max(jnp.abs(recon - p["w"])) / denom)
-                worst = max(worst, err)
+            for key in _QUANT_KEYS:
+                if key in p and key + "_q" in q:
+                    recon = q[key + "_q"].astype(jnp.float32) * q[key + "_s"]
+                    denom = jnp.maximum(jnp.max(jnp.abs(p[key])), 1e-8)
+                    err = float(jnp.max(jnp.abs(recon - p[key])) / denom)
+                    worst = max(worst, err)
             for key in p:
                 if key in q and isinstance(p[key], dict):
                     walk(p[key], q[key])

@@ -108,6 +108,21 @@ def _expert_mlp(
     return h @ w2 + b2
 
 
+def _maybe_dequant_experts(expert_params: dict, dtype) -> dict:
+    """Resolve int8 expert stacks ({w1_q, w1_s} from models/quantize.py) to
+    compute-dtype weights. The dequant multiply is a broadcast over the
+    output channel, which XLA fuses into the consuming (ragged) matmul's
+    operand load — expert HBM traffic stays at int8 width."""
+    if "w1_q" not in expert_params and "w2_q" not in expert_params:
+        return expert_params
+    out = dict(expert_params)
+    for key in ("w1", "w2"):
+        if key + "_q" in out:
+            out[key] = (out.pop(key + "_q").astype(dtype)
+                        * out.pop(key + "_s").astype(dtype))
+    return out
+
+
 def moe_dense(
     x: jnp.ndarray,            # (S, H)
     routing: RouterOutput,
@@ -117,6 +132,7 @@ def moe_dense(
     active_mask: Optional[jnp.ndarray] = None,  # (E,) bool
 ) -> jnp.ndarray:
     """Run every expert on every token; combine with routing weights."""
+    expert_params = _maybe_dequant_experts(expert_params, x.dtype)
     num_experts = expert_params["w1"].shape[0]
     act_fn = get_activation(hidden_act)
 
@@ -151,6 +167,7 @@ def moe_dispatch(
     tokens).
     """
     s, h = x.shape
+    expert_params = _maybe_dequant_experts(expert_params, x.dtype)
     num_experts = expert_params["w1"].shape[0]
     k = routing.indices.shape[1]
     act_fn = get_activation(hidden_act)
@@ -208,6 +225,7 @@ def moe_ragged(
     """
     s, h = x.shape
     k = routing.indices.shape[1]
+    expert_params = _maybe_dequant_experts(expert_params, x.dtype)
     num_experts = expert_params["w1"].shape[0]
     act_fn = get_activation(hidden_act)
 

@@ -127,3 +127,32 @@ def test_dyn_mode_decode_close_to_weightonly(monkeypatch):
     scale = float(jnp.max(jnp.abs(wo)))
     assert float(jnp.max(jnp.abs(dyn - wo))) < 0.05 * max(scale, 1.0)
     assert (jnp.argmax(dyn[:, -1], -1) == jnp.argmax(wo[:, -1], -1)).all()
+
+
+def test_quantize_moe_expert_stacks():
+    """Expert stacks (w1/w2, 4-D with the layer axis) quantize to int8 with
+    per-output-channel scales; forward stays close to bf16 and the router
+    stays full precision."""
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256, use_expert_system=True,
+                           num_experts=4, experts_per_token=2,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+
+    experts = qparams["layers"]["ffn"]["experts"]
+    assert experts["w1_q"].dtype == jnp.int8
+    assert experts["w2_q"].dtype == jnp.int8
+    assert experts["w1_q"].shape == params["layers"]["ffn"]["experts"]["w1"].shape
+    # scales reduce the contraction axis (-2)
+    assert experts["w1_s"].shape[-2] == 1
+    assert "w" in qparams["layers"]["ffn"]["router"], "router must stay fp"
+    assert quantization_error(params, qparams) < 0.01
+
+    ids = jnp.asarray(np.random.default_rng(2).integers(4, 128, (2, 16)))
+    full = model_lib.forward(params, config, ids).logits
+    quant = model_lib.forward(qparams, config, ids).logits
+    scale = float(jnp.max(jnp.abs(full)))
+    assert float(jnp.max(jnp.abs(full - quant))) < 0.05 * max(scale, 1.0)
