@@ -69,6 +69,15 @@ _TOP_RULES = [
 
 
 def _spec_for(path: str, ndim: int, in_layers: bool) -> P:
+    # Quantized leaves (models/quantize.py) inherit the base weight's spec:
+    # w_q is shaped like w; the w_s scale keeps the weight's output-channel
+    # sharding but its contraction axis (-2) has size 1 and must stay
+    # replicated.
+    is_scale = False
+    if path.endswith("_q"):
+        path = path[:-2]
+    elif path.endswith("_s"):
+        path, is_scale = path[:-2], True
     rules = _LAYER_RULES if in_layers else _TOP_RULES
     for suffix, spec in rules:
         if path.endswith(suffix):
@@ -76,7 +85,10 @@ def _spec_for(path: str, ndim: int, in_layers: bool) -> P:
             if in_layers:
                 parts = (None,) + parts  # stacked-layer leading dim
             parts = parts + (None,) * (ndim - len(parts))
-            return P(*parts[:ndim])
+            parts = parts[:ndim]
+            if is_scale and ndim >= 2:
+                parts = parts[:-2] + (None,) + parts[-1:]
+            return P(*parts)
     return P(*([None] * ndim))
 
 

@@ -156,3 +156,40 @@ def test_quantize_moe_expert_stacks():
     quant = model_lib.forward(qparams, config, ids).logits
     scale = float(jnp.max(jnp.abs(full)))
     assert float(jnp.max(jnp.abs(full - quant))) < 0.05 * max(scale, 1.0)
+
+
+def test_quantized_tree_shards_under_tp_ep():
+    """Quantized leaves inherit the base weight's sharding (scales keep the
+    output-channel axis but replicate their size-1 contraction axis), so
+    int8 serving composes with tensor/expert parallelism."""
+    from apertis_llm_tpu.parallel.mesh import create_mesh
+    from apertis_llm_tpu.parallel.sharding import param_specs, shard_params
+
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256, use_expert_system=True,
+                           num_experts=4, experts_per_token=2,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+    specs = param_specs(qparams)
+
+    ssm = specs["layers"]["attn"]
+    assert tuple(ssm["in_proj_x"]["w_q"]) == (None, None, "model")
+    assert tuple(ssm["in_proj_x"]["w_s"]) == (None, None, "model")
+    assert tuple(ssm["out_proj"]["w_q"]) == (None, "model", None)
+    # row-parallel scale: contraction axis is size 1 -> replicated
+    assert tuple(ssm["out_proj"]["w_s"]) == (None, None, None)
+    experts = specs["layers"]["ffn"]["experts"]
+    assert tuple(experts["w1_q"]) == (None, "expert", None, "model")
+    assert tuple(experts["w2_s"]) == (None, "expert", None, None)
+
+    mesh = create_mesh(jax.devices()[:8], (2, 2, 2))
+    sharded = shard_params(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(3).integers(4, 128, (2, 12)))
+    ref = model_lib.forward(qparams, config, ids).logits
+    got = model_lib.forward(sharded, config, ids).logits
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
