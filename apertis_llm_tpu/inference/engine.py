@@ -48,10 +48,33 @@ class GenerationParams(NamedTuple):
 
 
 def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest static prompt length >= n.
+
+    Within the table, the usual power-of-two buckets; beyond it, round up to
+    the next multiple of the largest bucket so arbitrarily long prompts (the
+    32K context the reference advertises, docs/README.md:589) compile to a
+    bounded set of shapes and are never truncated.
+    """
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    step = max(buckets[-1] // 2, 1)
+    return ((n + step - 1) // step) * step
+
+
+def _check_position_limit(config: ApertisConfig, max_needed: int) -> None:
+    """MHA-rotary and absolute-position models index fixed-size position
+    tables; past them the reference crashes (SURVEY: RoPE tables capped at
+    max_position_embeddings) and JAX would silently clamp — raise instead.
+    The selective-SSM path has no positional table and is unlimited."""
+    limited = (config.position_embedding_type == "absolute"
+               or (config.position_embedding_type == "rotary"
+                   and config.attention_type != "selective_ssm"))
+    if limited and max_needed > config.max_position_embeddings:
+        raise ValueError(
+            f"prompt + max_new_tokens needs positions up to {max_needed} but "
+            f"max_position_embeddings={config.max_position_embeddings}; use a "
+            "selective_ssm model for long context or raise the limit")
 
 
 class GenerateState(NamedTuple):
@@ -212,6 +235,10 @@ class InferenceEngine:
         if attention_mask is None:
             attention_mask = np.ones((b, l), np.int32)
         bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
+        num_img = (self.config.num_image_tokens
+                   if (self.config.multimodal and pixel_values is not None) else 0)
+        _check_position_limit(self.config,
+                              num_img + bucket + gen.max_new_tokens)
         padded_ids, padded_mask = input_ids, attention_mask
         if bucket > l:
             padc = ((0, 0), (0, bucket - l))
@@ -267,6 +294,7 @@ class InferenceEngine:
         num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
         pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
+        _check_position_limit(config, num_img + bucket + max_new)
         cache_len = num_img + bucket + max_new
 
         padded = np.pad(input_ids, ((0, 0), (0, bucket - l)), constant_values=pad_id)
@@ -283,32 +311,34 @@ class InferenceEngine:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
         # Cache validity row: image prefix + real prompt + generated slots.
-        mask_row = np.zeros((1, cache_len), np.int32)
-        mask_row[0, :num_img] = 1
-        mask_row[0, num_img:num_img + l] = 1
+        mask_np = np.zeros((1, cache_len), np.int32)
+        mask_np[0, :num_img] = 1
+        mask_np[0, num_img:num_img + l] = 1
+        mask_row = jnp.asarray(mask_np)
 
-        history = list(int(x) for x in input_ids[0])
+        # Token history lives in a device-side buffer updated incrementally —
+        # per-token host traffic is O(1) (three scalars up, one down), not a
+        # re-upload of the whole history.
+        buf = jnp.concatenate(
+            [jnp.asarray(input_ids, jnp.int32),
+             jnp.full((1, max_new), pad_id, jnp.int32)], axis=1)
+        sample_fn = self._jit_stream_sample(
+            do_sample, temperature, top_k, top_p, repetition_penalty)
+
         logits = pre.logits[:, l - 1, :]
         cache = pre.cache
+        filled = l
         t = num_img + bucket       # physical cache slot for the next token
         for step in range(max_new):
             rng, r = jax.random.split(rng)
-            hist = jnp.asarray(np.asarray(history, np.int32)[None, :])
-            tok = sampling_ops.sample_token(
-                r, logits.astype(jnp.float32), do_sample=do_sample,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty,
-                token_history=hist)
+            tok, buf = sample_fn(r, logits, buf, filled)
             tok_val = int(tok[0])
-            history.append(tok_val)
+            filled += 1
             yield tok_val
             if tok_val in eos_set and step + 1 >= min_new:
                 return
-            mask_row[0, t] = 1
-            logits, cache = step_fn(
-                self.params, cache, tok.astype(jnp.int32),
-                jnp.asarray(t, jnp.int32), jnp.asarray(mask_row),
-                jnp.asarray([num_img + l + step], jnp.int32))
+            logits, cache, mask_row = step_fn(
+                self.params, cache, tok, t, mask_row, num_img + l + step)
             t += 1
 
     def _jit_prefill(self, cache_len: int, has_image: bool):
@@ -327,15 +357,46 @@ class InferenceEngine:
         return fn
 
     def _jit_step(self):
+        """Single decode step; updates the cache-validity mask on device."""
         key = ("step",)
         fn = self._compiled.get(key)
         if fn is None:
             config = self.config
 
-            def run(params, cache, tok, t, mask_row, positions):
-                return model_lib.decode_step(
-                    params, config, cache, tok, t,
-                    attn_mask_row=mask_row, positions=positions)
+            def run(params, cache, tok, t, mask_row, position):
+                t = jnp.asarray(t, jnp.int32)
+                mask_row = jax.lax.dynamic_update_slice(
+                    mask_row, jnp.ones((1, 1), mask_row.dtype), (0, t))
+                logits, cache = model_lib.decode_step(
+                    params, config, cache, tok.astype(jnp.int32), t,
+                    attn_mask_row=mask_row,
+                    positions=jnp.asarray(position, jnp.int32)[None])
+                return logits, cache, mask_row
+
+            fn = jax.jit(run)
+            self._compiled[key] = fn
+        return fn
+
+    def _jit_stream_sample(self, do_sample, temperature, top_k, top_p,
+                           repetition_penalty):
+        """Sample + append to the device-side history buffer in one program."""
+        key = ("stream_sample", do_sample, temperature, top_k, top_p,
+               repetition_penalty)
+        fn = self._compiled.get(key)
+        if fn is None:
+
+            def run(rng, logits, buf, filled):
+                hist_mask = (jnp.arange(buf.shape[1])[None, :]
+                             < filled).astype(jnp.float32)
+                tok = sampling_ops.sample_token(
+                    rng, logits.astype(jnp.float32), do_sample=do_sample,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    token_history=buf, history_mask=hist_mask)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, tok.astype(buf.dtype)[:, None],
+                    (0, jnp.asarray(filled, jnp.int32)))
+                return tok, buf
 
             fn = jax.jit(run)
             self._compiled[key] = fn

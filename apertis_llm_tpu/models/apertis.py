@@ -117,11 +117,13 @@ def _on_tpu() -> bool:
 
 def _flash_eligible(config: ApertisConfig, seq_len: int, head_dim: int) -> bool:
     """Static gate for the fused attention kernel: user-enabled, running on
-    TPU, and shapes the kernel tiles cleanly (block-divisible sequence,
-    lane-aligned head dim)."""
+    TPU, lane-aligned head dim, and long enough that the kernel beats plain
+    XLA attention (the kernel itself pads any length to its block size, so —
+    like the reference's flash path, core.py:754-759 — there is no
+    divisibility requirement)."""
     if not config.use_flash_attention:
         return False
-    if seq_len % 128 != 0 or head_dim % 8 != 0 or head_dim > 256:
+    if seq_len < 128 or head_dim % 8 != 0 or head_dim > 256:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -476,7 +478,10 @@ def forward(
     # No user mask -> pure causal attention; bias=None statically enables the
     # fused flash kernel (mirrors the reference's mask-is-None gating,
     # core.py:1088-1108). With a mask, build the combined causal+padding bias.
-    bias = (None if mask_was_none
+    # SSM mixers never read the bias (the reference's SSM also ignores the
+    # attention mask, core.py:356-401) — skip the O(L^2) buffer entirely so
+    # long-context (32K) SSM forward stays O(L) memory.
+    bias = (None if (mask_was_none or config.attention_type == "selective_ssm")
             else _build_bias(attention_mask, embeds.shape[1], 0, jnp.float32))
 
     rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
@@ -599,7 +604,11 @@ def prefill(
     embeds, pos_ids, attention_mask, num_img = assemble_inputs(
         params, config, input_ids, attention_mask, position_ids, pixel_values)
     l_total = embeds.shape[1]
-    bias = _build_bias(attention_mask, l_total, 0, jnp.float32)
+    # SSM prefill handles padding via identity transitions (seq_mask below);
+    # the O(L^2) additive bias is MHA-only — skipping it keeps 32K-token
+    # SSM prefill at O(L) memory.
+    bias = (None if config.attention_type == "selective_ssm"
+            else _build_bias(attention_mask, l_total, 0, jnp.float32))
     cos_t, sin_t = _rope_tables_if_needed(config)
     seq_mask = attention_mask
     seq_lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)

@@ -8,6 +8,7 @@ framework works on hosts without a toolchain.
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import logging
 import os
@@ -52,8 +53,17 @@ def get_native():
     here = Path(__file__).resolve().parent
     source = here / "loader.cpp"
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = here / f"_apertis_native{suffix}"
-    if not out.exists() or out.stat().st_mtime < source.stat().st_mtime:
+    # The build cache is keyed on the SOURCE CONTENT HASH (not mtimes), so a
+    # fresh checkout or an edited loader.cpp always gets a matching binary;
+    # binaries are never committed (see .gitignore).
+    digest = hashlib.sha256(source.read_bytes()).hexdigest()[:12]
+    out = here / f"_apertis_native-{digest}{suffix}"
+    if not out.exists():
+        for stale in here.glob(f"_apertis_native*{suffix}"):
+            try:
+                stale.unlink()
+            except OSError:
+                pass
         if not _build(source, out):
             return None
     try:

@@ -31,18 +31,19 @@ DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, scale, causal):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, scale, causal,
+                kv_len):
     qi = pl.program_id(2)
     q = q_ref[0].astype(jnp.float32) * scale             # (BQ, D)
     block_q = q.shape[0]
-    kv_len = k_ref.shape[1]
+    kv_len_pad = k_ref.shape[1]
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
 
     q0 = qi * block_q
-    num_kb = kv_len // block_k
+    num_kb = kv_len_pad // block_k
     if causal:
         # Key block kb is visible iff kb*block_k <= q0 + block_q - 1; skip
         # the fully-masked tail blocks entirely.
@@ -55,10 +56,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, scale, causal):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (BQ, BK)
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = cols < kv_len                        # mask block-padding keys
         if causal:
             rows = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            valid = valid & (rows >= cols)
+        s = jnp.where(valid, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -69,28 +72,43 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, scale, causal):
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+    l = jnp.maximum(l, 1e-30)        # padded query rows: avoid 0/0 NaNs
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
+
+
+def _pad_len(n: int, block: int) -> int:
+    return ((n + block - 1) // block) * block
+
+
+def _pad_axis1(x, target: int, value=0.0):
+    if x.shape[1] == target:
+        return x
+    return jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)),
+                   constant_values=value)
 
 
 def _fwd(q, k, v, *, scale, causal, block_q, block_k):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    grid = (b * h, 1, lq // block_q)
-    qr = q.reshape(b * h, lq, d)
-    kr = k.reshape(b * h, lk, d)
-    vr = v.reshape(b * h, lk, d)
+    # Pad sequence lengths up to block multiples (like ssm_scan); padded key
+    # columns are masked inside the kernel, padded query rows sliced off.
+    lqp, lkp = _pad_len(lq, block_q), _pad_len(lk, block_k)
+    grid = (b * h, 1, lqp // block_q)
+    qr = _pad_axis1(q.reshape(b * h, lq, d), lqp)
+    kr = _pad_axis1(k.reshape(b * h, lk, d), lkp)
+    vr = _pad_axis1(v.reshape(b * h, lk, d), lkp)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, scale=scale,
-                          causal=causal),
+                          causal=causal, kv_len=lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, _, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda bh, _, qi: (bh, 0, 0),
+            pl.BlockSpec((1, lkp, d), lambda bh, _, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda bh, _, qi: (bh, 0, 0),
+            pl.BlockSpec((1, lkp, d), lambda bh, _, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -100,38 +118,41 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_k):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lqp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr)
-    return out.reshape(b, h, lq, d), lse.reshape(b, h, lq)
+    return (out[:, :lq].reshape(b, h, lq, d),
+            lse[:, :lq].reshape(b, h, lq))
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               *, block_k, scale, causal):
+               *, block_k, scale, causal, kv_len):
     qi = pl.program_id(2)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0]          # (BQ, 1)
     delta = delta_ref[0]      # (BQ, 1)
     block_q = q.shape[0]
-    kv_len = k_ref.shape[1]
+    kv_len_pad = k_ref.shape[1]
     q0 = qi * block_q
 
     dq = jnp.zeros_like(q)
-    num_kb = kv_len // block_k
+    num_kb = kv_len_pad // block_k
 
     def body(kb, dq):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = cols < kv_len
         if causal:
             rows = q0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            valid = valid & (rows >= cols)
+        s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -221,25 +242,28 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
     block_k = min(block_k, k.shape[2])
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    lqp, lkp = _pad_len(lq, block_q), _pad_len(lk, block_k)
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
 
-    qr = q.reshape(b * h, lq, d)
-    kr = k.reshape(b * h, lk, d)
-    vr = v.reshape(b * h, lk, d)
-    dor = g.reshape(b * h, lq, d)
-    lser = lse.reshape(b * h, lq, 1)
-    deltar = delta.reshape(b * h, lq, 1)
+    qr = _pad_axis1(q.reshape(b * h, lq, d), lqp)
+    kr = _pad_axis1(k.reshape(b * h, lk, d), lkp)
+    vr = _pad_axis1(v.reshape(b * h, lk, d), lkp)
+    dor = _pad_axis1(g.reshape(b * h, lq, d), lqp)
+    # Padded query rows: lse=+big makes p=exp(s-lse)=0, delta=0 keeps ds=0,
+    # so they contribute nothing to dK/dV and their dQ rows are sliced off.
+    lser = _pad_axis1(lse.reshape(b * h, lq, 1), lqp, value=1e30)
+    deltar = _pad_axis1(delta.reshape(b * h, lq, 1), lqp)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_k=block_k, scale=scale,
-                          causal=causal),
-        grid=(b * h, 1, lq // block_q),
+                          causal=causal, kv_len=lk),
+        grid=(b * h, 1, lqp // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, _, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda bh, _, qi: (bh, 0, 0),
+            pl.BlockSpec((1, lkp, d), lambda bh, _, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda bh, _, qi: (bh, 0, 0),
+            pl.BlockSpec((1, lkp, d), lambda bh, _, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, _, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -250,7 +274,7 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, _, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr, dor, lser, deltar)
@@ -258,19 +282,19 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_q=block_q, scale=scale,
                           causal=causal),
-        grid=(b * h, 1, lk // block_k),
+        grid=(b * h, 1, lkp // block_k),
         in_specs=[
-            pl.BlockSpec((1, lq, d), lambda bh, _, ki: (bh, 0, 0),
+            pl.BlockSpec((1, lqp, d), lambda bh, _, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, _, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, _, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, d), lambda bh, _, ki: (bh, 0, 0),
+            pl.BlockSpec((1, lqp, d), lambda bh, _, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, 1), lambda bh, _, ki: (bh, 0, 0),
+            pl.BlockSpec((1, lqp, 1), lambda bh, _, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, 1), lambda bh, _, ki: (bh, 0, 0),
+            pl.BlockSpec((1, lqp, 1), lambda bh, _, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -280,14 +304,15 @@ def _flash_bwd(causal, scale, block_q, block_k, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, lkp, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lkp, d), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
     )(qr, kr, vr, dor, lser, deltar)
 
-    return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))
+    return (dq[:, :lq].reshape(q.shape), dk[:, :lk].reshape(k.shape),
+            dv[:, :lk].reshape(v.shape))
 
 
 flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd)

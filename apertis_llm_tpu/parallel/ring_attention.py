@@ -62,11 +62,17 @@ def ring_attention(
             vc = jax.lax.ppermute(vc, axis, perm)
             return kc, vc, m_new, l, acc
 
-        # pvary: the constants start axis-invariant but the loop makes them
+        # The constants start axis-invariant but the loop makes them
         # device-varying; declare that up front so the carry types match.
-        m0 = jax.lax.pvary(jnp.full((b, h, c, 1), NEG_INF, jnp.float32), axis)
-        l0 = jax.lax.pvary(jnp.zeros((b, h, c, 1), jnp.float32), axis)
-        acc0 = jax.lax.pvary(jnp.zeros((b, h, c, d), jnp.float32), axis)
+        def _varying(x):
+            pcast = getattr(jax.lax, "pcast", None)
+            if pcast is not None:
+                return pcast(x, axis, to="varying")
+            return jax.lax.pvary(x, axis)
+
+        m0 = _varying(jnp.full((b, h, c, 1), NEG_INF, jnp.float32))
+        l0 = _varying(jnp.zeros((b, h, c, 1), jnp.float32))
+        acc0 = _varying(jnp.zeros((b, h, c, d), jnp.float32))
         _, _, _, l, acc = jax.lax.fori_loop(
             0, n, step, (k_blk, v_blk, m0, l0, acc0))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_blk.dtype)

@@ -117,3 +117,36 @@ def test_flash_attention_bwd():
         np.testing.assert_allclose(
             np.asarray(gp[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4,
             err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("l", [384, 320, 200])
+def test_flash_attention_non_block_multiple_lengths(l):
+    """Sequence lengths that don't divide the (default 256) blocks: the
+    kernel pads to the block size internally and masks padded keys —
+    previously the tail query rows were silently never written (ADVICE r1)."""
+    from apertis_llm_tpu.ops.attention import mha
+    from apertis_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(l)
+    b, h, d = 1, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+
+    ref = mha(q, k, v, causal=True)
+    got = flash_attention(q, k, v, True)          # default 256 blocks
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.tanh(mha(q, k, v, causal=True)))
+
+    def loss_pal(q, k, v):
+        return jnp.sum(jnp.tanh(flash_attention(q, k, v, True)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for i, name in enumerate("qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} at L={l}")
