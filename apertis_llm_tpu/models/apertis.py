@@ -142,6 +142,14 @@ def _dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, training: bo
 # attention sublayer (full-sequence)
 # ---------------------------------------------------------------------------
 
+def _sp_ctx():
+    """Active sequence-parallel context (trace-time), or None."""
+    from apertis_llm_tpu.parallel import context as par_ctx
+
+    ctx = par_ctx.current()
+    return ctx if ctx.active else None
+
+
 def _mha_full(
     lp: Params,
     config: ApertisConfig,
@@ -155,6 +163,7 @@ def _mha_full(
     rng: Optional[jax.Array],
     want_cache: bool,
     want_probs: bool,
+    cp_kv_valid: Optional[jnp.ndarray] = None,  # (B, L) key validity for CP
 ):
     b, l, d = x.shape
     heads, head_dim = config.num_attention_heads, config.head_dim
@@ -171,8 +180,18 @@ def _mha_full(
 
     qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
     probs = None
+    sp = _sp_ctx()
     if want_probs:
         ctx, probs = attn_ops.mha_with_probs(qh, kh, vh, bias=bias, causal=True)
+    elif (sp is not None and not want_cache
+          and l % sp.mesh.shape[sp.sp_axis] == 0):
+        # Context parallelism: ring attention over the sequence axis. The
+        # padding mask (when any) rides the ring as per-key validity — exact
+        # vs the additive-bias path (tests/test_ring_attention.py).
+        from apertis_llm_tpu.parallel.ring_attention import ring_attention
+
+        ctx = ring_attention(qh, kh, vh, sp.mesh, sp.sp_axis, causal=True,
+                             kv_valid=cp_kv_valid, batch_axis=sp.batch_axis)
     elif bias is None and _flash_eligible(config, l, head_dim):
         # Fused Pallas kernel: same gating as the reference's flash path —
         # enabled, no padding mask, no attention-probs output
@@ -247,7 +266,17 @@ def _ssm_full(
         a_bar = a_bar * m + (1.0 - m)   # identity transition on pads
         b_term = b_term * m
 
-    h, h_last = ssm_ops.selective_scan(a_bar, b_term)
+    sp = _sp_ctx()
+    if sp is not None and l % sp.mesh.shape[sp.sp_axis] == 0:
+        # Sequence parallelism: shard L over the seq axis; cross-chunk
+        # traffic is one all-gather of (B, H, N) chunk summaries.
+        from apertis_llm_tpu.parallel.sequence import (
+            ssm_scan_sequence_parallel)
+
+        h, h_last = ssm_scan_sequence_parallel(
+            a_bar, b_term, sp.mesh, sp.sp_axis, batch_axis=sp.batch_axis)
+    else:
+        h, h_last = ssm_ops.selective_scan(a_bar, b_term)
     y = (c_mod.astype(h.dtype) * h).astype(x.dtype)       # (B, H, L, N)
     y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
     y = y + lp["D"] * x_act
@@ -358,6 +387,7 @@ def _layer_full(
     want_probs: bool = False,
     seq_mask: Optional[jnp.ndarray] = None,
     seq_lens: Optional[jnp.ndarray] = None,
+    cp_kv_valid: Optional[jnp.ndarray] = None,
 ):
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     eps = config.layer_norm_eps
@@ -372,7 +402,7 @@ def _layer_full(
         attn_out, cache, probs = _mha_full(
             lp["attn"], config, normed, bias, pos_ids, cos_t, sin_t,
             training=training, rng=rngs[0], want_cache=want_cache,
-            want_probs=want_probs)
+            want_probs=want_probs, cp_kv_valid=cp_kv_valid)
     h = h + _dropout(rngs[1], attn_out, config.hidden_dropout_prob, training)
 
     normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
@@ -487,6 +517,23 @@ def forward(
     rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
     h = _dropout(rngs[0], embeds, config.hidden_dropout_prob, training)
 
+    sp = _sp_ctx()
+    cp_kv_valid = None
+    if sp is not None and h.shape[1] % sp.mesh.shape[sp.sp_axis] == 0:
+        # Sequence parallelism: pin activations L-sharded for the whole layer
+        # stack — GSPMD splits all pointwise/matmul work over `seq`; the scan
+        # and attention route through explicit shard_maps (see _ssm_full /
+        # _mha_full). The MHA ring needs per-key validity instead of the
+        # (B,1,L,L) bias; SSM keeps the reference's mask-ignoring training
+        # semantics (core.py:356-401).
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        h = jax.lax.with_sharding_constraint(
+            h, NamedSharding(sp.mesh, P_(sp.batch_axis, sp.sp_axis, None)))
+        if config.attention_type != "selective_ssm":
+            cp_kv_valid = None if mask_was_none else attention_mask
+            bias = None   # the ring applies causal+validity masking itself
+
     cos_t, sin_t = _rope_tables_if_needed(config)
 
     num_layers = config.num_hidden_layers
@@ -500,7 +547,7 @@ def forward(
         h, _, lb, rz, probs = _layer_full(
             lp, config, h, bias, pos_ids, cos_t, sin_t,
             training=training, rng=layer_rng, want_cache=False,
-            want_probs=output_attentions)
+            want_probs=output_attentions, cp_kv_valid=cp_kv_valid)
         ys = probs
         if output_hidden_states:
             ys = (probs, h_in)

@@ -1,15 +1,19 @@
 """Device mesh construction.
 
-One mesh, three named axes (reference had data-parallel only via DDP,
-pipeline.py:462-466; TP/EP are capability upgrades — SURVEY.md §2.8):
+One mesh, four named axes (reference had data-parallel only via DDP,
+pipeline.py:462-466; TP/EP/SP are capability upgrades — SURVEY.md §2.8):
 
   * ``data``   — batch sharding (DP); gradients all-reduce over this axis.
   * ``model``  — tensor parallelism: attention heads / FFN columns / SSM
-    inner channels.
+    inner channels. Doubles as the pipeline-stage axis when the trainer's
+    ``pipeline_stages`` knob is set (layer depth sharded instead of widths).
   * ``expert`` — MoE expert sharding (dispatch all-to-all rides this axis).
+  * ``seq``    — sequence/context parallelism: activations shard their L
+    axis; the SSM scan passes chunk summaries over ICI and the MHA path
+    runs ring attention.
 
-All collectives are inserted by XLA from sharding annotations (GSPMD); no
-hand-written communication.
+All collectives are inserted by XLA from sharding annotations (GSPMD)
+except the SP scan/ring-attention bodies, which are explicit shard_maps.
 """
 
 from __future__ import annotations
@@ -20,23 +24,29 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
-AXES = ("data", "model", "expert")
+AXES = ("data", "model", "expert", "seq")
 
 
 def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
-    shape: Optional[Tuple[int, int, int]] = None,
+    shape: Optional[Tuple[int, ...]] = None,
 ) -> Mesh:
-    """Build a (data, model, expert) mesh over the given devices.
+    """Build a (data, model, expert[, seq]) mesh over the given devices.
 
-    Default shape puts all devices on the data axis. ``shape`` must multiply
-    to the device count.
+    Default shape puts all devices on the data axis. 3-tuples get a
+    trailing seq=1 (backwards compatible). ``shape`` must multiply to the
+    device count.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if shape is None:
-        shape = (n, 1, 1)
+        shape = (n, 1, 1, 1)
+    shape = tuple(shape)
+    if len(shape) == 3:
+        shape = shape + (1,)
+    if len(shape) != 4:
+        raise ValueError(f"mesh shape must have 3 or 4 axes, got {shape}")
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} does not cover {n} devices")
     arr = np.asarray(devices).reshape(shape)
@@ -44,7 +54,7 @@ def create_mesh(
 
 
 def single_device_mesh() -> Mesh:
-    return create_mesh(jax.devices()[:1], (1, 1, 1))
+    return create_mesh(jax.devices()[:1], (1, 1, 1, 1))
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

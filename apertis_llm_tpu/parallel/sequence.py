@@ -34,14 +34,16 @@ def ssm_scan_sequence_parallel(
     b_term: jnp.ndarray,
     mesh: Mesh,
     axis: str = "model",
+    batch_axis: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequence-sharded scan; same contract as ops.ssm.selective_scan.
 
     Returns (h, h_last): ``h`` sharded along L like the inputs; ``h_last``
-    replicated. Cross-chunk traffic is one all-gather of (B, H, N)-sized
-    summaries.
+    replicated over `axis`. Cross-chunk traffic is one all-gather of
+    (B, H, N)-sized summaries. ``batch_axis`` preserves an existing
+    data-parallel batch sharding (SP composes with DP on one mesh).
     """
-    seq_spec = P(None, None, axis, None)
+    seq_spec = P(batch_axis, None, axis, None)
 
     def body(a_blk, b_blk):
         # Local chunk scan + cumulative decay products (scan of (a, 0) from 1).
@@ -74,6 +76,6 @@ def ssm_scan_sequence_parallel(
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(seq_spec, seq_spec),
-        out_specs=(seq_spec, P(None, None, None)),
+        out_specs=(seq_spec, P(batch_axis, None, None)),
         check_vma=False,
     )(a_bar, b_term)

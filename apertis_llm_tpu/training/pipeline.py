@@ -199,6 +199,8 @@ def train_from_config(config_path: str,
         eval_every_n_epochs=train_cfg.get("eval_every_n_epochs", 1),
         dynamic_batch_sizing=train_cfg.get("dynamic_batch_sizing", True),
         mesh_shape=train_cfg.get("mesh_shape"),
+        pipeline_stages=train_cfg.get("pipeline_stages", 0),
+        pipeline_microbatches=train_cfg.get("pipeline_microbatches", 0),
         stop_event=stop_event,
         is_fine_tuning=is_fine_tuning,
         tokenizer_path_to_save=tokenizer_path,
@@ -287,7 +289,9 @@ def create_sample_config(output_path: str) -> None:
             "eval_every_n_epochs": 1,
             "use_wandb": False,
             "wandb_project": "apertis",
-            "mesh_shape": None,
+            "mesh_shape": None,        # [data, model, expert, seq]; seq>1 = sequence parallel
+            "pipeline_stages": 0,      # >1: GPipe over the model axis (depth-sharded)
+            "pipeline_microbatches": 0,  # default = pipeline_stages
             "seed": 0,
             "resume_from": None,
             "pretrained_model_path_for_finetune": None,

@@ -1,0 +1,283 @@
+"""Pipeline-parallel train step: GPipe schedule with an in-stage loss tail.
+
+Wires ``parallel.pipeline``'s schedule into real training (VERDICT r1 item 2):
+the trainer's ``pipeline_stages`` knob shards layer DEPTH over the ``model``
+mesh axis; each device runs a contiguous block of layers, microbatches flow
+stage-to-stage with one ``ppermute`` hop per tick, and the loss is computed
+ON the last stage (a single scalar ``psum`` broadcasts it) — not by
+broadcasting full activations like the library ``pipeline_apply`` does, so
+cross-stage traffic per tick is exactly one microbatch of activations.
+
+MoE aux losses ride the ring alongside the activations. Differentiating
+through the schedule reverses the permutes, giving GPipe-with-full-stashing
+backward (``jax.checkpoint`` on the layer body when config.remat trades the
+stashing for recompute).
+
+The reference has no pipeline parallelism (SURVEY.md §2.8); its counterpart
+for multi-device training is DDP only (reference: src/training/
+pipeline.py:462-466). Deviation (documented): MoE load-balance/z losses are
+computed per microbatch and averaged, where single-program training computes
+them over the full batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models import apertis as model_lib
+from apertis_llm_tpu.training.step import TrainState
+
+Params = Dict[str, Any]
+
+
+def _param_specs_for_pp(params: Params, axis: str) -> Params:
+    """Layer stacks shard depth over the stage axis; everything else is
+    replicated (TP width-sharding and PP depth-sharding of the same tensors
+    are mutually exclusive by construction)."""
+
+    def walk(tree, in_layers):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_layers or k == "layers") for k, v in tree.items()}
+        return P(axis) if in_layers else P()
+
+    return walk(params, False)
+
+
+def shard_params_for_pipeline(params: Params, mesh: Mesh,
+                              axis: str = "model") -> Params:
+    specs = _param_specs_for_pp(params, axis)
+    return jax.device_put(
+        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P)))
+
+
+def make_pp_loss_fn(
+    config: ApertisConfig,
+    mesh: Mesh,
+    num_micro: int,
+    *,
+    stage_axis: str = "model",
+    batch_axis: str = "data",
+    compute_dtype=None,
+):
+    """Build loss(params, batch, rng) running the layer stack as GPipe stages.
+
+    Requirements: text-only batches (the multimodal prefix would need its own
+    stage-0 treatment), ``num_hidden_layers % stages == 0``, global batch
+    divisible by ``data_parallel * num_micro``.
+    """
+    n_stages = mesh.shape[stage_axis]
+    if config.num_hidden_layers % n_stages:
+        raise ValueError(
+            f"num_hidden_layers {config.num_hidden_layers} must divide by "
+            f"pipeline stages {n_stages}")
+    layers_per_stage = config.num_hidden_layers // n_stages
+    is_mha = config.attention_type != "selective_ssm"
+    data_par = mesh.shape.get(batch_axis, 1)
+
+    def loss_fn(params: Params, batch: Dict[str, jnp.ndarray],
+                rng: Optional[jax.Array]):
+        if "pixel_values" in batch and batch["pixel_values"] is not None:
+            raise NotImplementedError(
+                "pipeline-parallel training is text-only; use the GSPMD mesh "
+                "axes for multimodal models")
+        run_params = params
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            run_params = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+        ids = batch["input_ids"]
+        labels = batch["labels"]
+        attention_mask = batch.get("attention_mask")
+        b, l = ids.shape
+        if b % num_micro:
+            raise ValueError(f"batch {b} must divide by microbatches {num_micro}")
+        mb = b // num_micro
+
+        embeds, pos_ids, attention_mask, _ = model_lib.assemble_inputs(
+            run_params, config, ids, attention_mask, None, None)
+        rngs = (jax.random.split(rng, 2) if rng is not None else [None, None])
+        h = model_lib._dropout(rngs[0], embeds, config.hidden_dropout_prob, True)
+
+        inp = h.reshape(num_micro, mb, l, h.shape[-1])
+        pos_mb = pos_ids.reshape(num_micro, mb, l)
+        # Labels microbatched the same way so their data-sharded slices line
+        # up row-for-row with the pipeline outputs inside the shard_map.
+        labels_mb = labels.reshape(num_micro, mb, l)
+        bias_mb = None
+        if is_mha:
+            bias = model_lib._build_bias(attention_mask, l, 0, jnp.float32)
+            bias_mb = bias.reshape(num_micro, mb, 1, l, l)
+        cos_t, sin_t = model_lib._rope_tables_if_needed(config)
+
+        layer_rng = rngs[1]
+
+        def stage_body(local_layers, tail_params, inp, pos_mb, labels, *rest):
+            bias_mb = rest[0] if is_mha else None
+            s = jax.lax.axis_index(stage_axis)
+
+            def apply_local(h, lb, rz, mb_idx):
+                pos_b = jax.lax.dynamic_index_in_dim(pos_mb, mb_idx, 0, False)
+                bias_b = (jax.lax.dynamic_index_in_dim(bias_mb, mb_idx, 0, False)
+                          if is_mha else None)
+
+                def scan_fn(carry, xs):
+                    h, lb, rz = carry
+                    lp, li = xs
+                    r = None
+                    if layer_rng is not None:
+                        r = jax.random.fold_in(
+                            jax.random.fold_in(layer_rng, mb_idx),
+                            s * layers_per_stage + li)
+                    h, _, lb_i, rz_i, _ = model_lib._layer_full(
+                        lp, config, h, bias_b, pos_b, cos_t, sin_t,
+                        training=True, rng=r, want_cache=False)
+                    return (h, lb + lb_i, rz + rz_i), None
+
+                if config.remat:
+                    scan_fn = jax.checkpoint(scan_fn)
+                (h, lb, rz), _ = jax.lax.scan(
+                    scan_fn, (h, lb, rz),
+                    (local_layers, jnp.arange(layers_per_stage)))
+                return h, lb, rz
+
+            axes = (stage_axis,) if data_par == 1 else (stage_axis, batch_axis)
+
+            def varying(x):
+                pcast = getattr(jax.lax, "pcast", None)
+                if pcast is not None:
+                    return pcast(x, axes, to="varying")
+                return jax.lax.pvary(x, axes)
+
+            zeroh = varying(jnp.zeros_like(inp[0]))
+            zf = varying(jnp.zeros((), jnp.float32))
+            outputs = varying(jnp.zeros_like(inp))
+            lb_out = varying(jnp.zeros((num_micro,), jnp.float32))
+            rz_out = varying(jnp.zeros((num_micro,), jnp.float32))
+
+            ticks = num_micro + n_stages - 1
+            perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+            def tick(t, carry):
+                (h_cur, lb_cur, rz_cur), outputs, lb_out, rz_out = carry
+                feed = jnp.clip(t, 0, num_micro - 1)
+                h_in = jnp.where(s == 0, inp[feed], h_cur)
+                lb_in = jnp.where(s == 0, 0.0, lb_cur)
+                rz_in = jnp.where(s == 0, 0.0, rz_cur)
+                # Microbatch id this stage works on at tick t.
+                mb_idx = jnp.clip(t - s, 0, num_micro - 1)
+                y, lb, rz = apply_local(h_in, lb_in, rz_in, mb_idx)
+                out_idx = jnp.clip(t - (n_stages - 1), 0, num_micro - 1)
+                write = (s == n_stages - 1) & (t >= n_stages - 1)
+                outputs = jax.lax.dynamic_update_index_in_dim(
+                    outputs, jnp.where(write, y, outputs[out_idx]), out_idx, 0)
+                lb_out = jax.lax.dynamic_update_index_in_dim(
+                    lb_out, jnp.where(write, lb, lb_out[out_idx]), out_idx, 0)
+                rz_out = jax.lax.dynamic_update_index_in_dim(
+                    rz_out, jnp.where(write, rz, rz_out[out_idx]), out_idx, 0)
+                nxt = jax.tree.map(lambda z: jax.lax.ppermute(z, stage_axis, perm),
+                                   (y, lb, rz))
+                return nxt, outputs, lb_out, rz_out
+
+            _, outputs, lb_out, rz_out = jax.lax.fori_loop(
+                0, ticks, tick, ((zeroh, zf, zf), outputs, lb_out, rz_out))
+
+            # Loss tail ON the last stage; only scalars cross devices.
+            h_all = outputs.reshape(-1, l, outputs.shape[-1])
+            h_all = model_lib._apply_norm(
+                tail_params["final_norm"], h_all, config.layer_norm_eps)
+            logits = model_lib._lm_head(tail_params, h_all)
+
+            shift_logits = logits[:, :-1, :].astype(jnp.float32)
+            shift_labels = labels.reshape(-1, l)[:, 1:]
+            valid = shift_labels != -100
+            safe = jnp.where(valid, shift_labels, 0)
+            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            on_last = (s == n_stages - 1).astype(jnp.float32)
+            sum_nll = jnp.sum(jnp.where(valid, nll, 0.0)) * on_last
+            count = jnp.sum(valid).astype(jnp.float32) * on_last
+            lb = jnp.mean(lb_out) * on_last
+            rz = jnp.mean(rz_out) * on_last
+
+            sum_nll = jax.lax.psum(sum_nll, axes)
+            count = jax.lax.psum(count, axes)
+            lb = jax.lax.psum(lb, axes) / data_par
+            rz = jax.lax.psum(rz, axes) / data_par
+            ce = sum_nll / jnp.maximum(count, 1.0)
+            loss = ce + lb + rz if config.use_expert_system else ce
+            return loss, lb, rz
+
+        layer_specs = jax.tree.map(lambda _: P(stage_axis), run_params["layers"])
+        tail_params = {k: v for k, v in run_params.items() if k != "layers"}
+        tail_specs = jax.tree.map(lambda _: P(), tail_params)
+        act_spec = P(None, batch_axis, None, None)
+        in_specs = [layer_specs, tail_specs, act_spec,
+                    P(None, batch_axis, None), P(None, batch_axis, None)]
+        args = [run_params["layers"], tail_params, inp, pos_mb, labels_mb]
+        if is_mha:
+            in_specs.append(P(None, batch_axis, None, None, None))
+            args.append(bias_mb)
+
+        loss, lb, rz = jax.shard_map(
+            stage_body, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(*args)
+        return loss, {"loss": loss, "lb_loss": lb, "rz_loss": rz}
+
+    return loss_fn
+
+
+def make_pp_train_step(
+    config: ApertisConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    num_micro: int,
+    compute_dtype: Optional[str] = None,
+    stage_axis: str = "model",
+    batch_axis: str = "data",
+):
+    dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+    loss_fn = make_pp_loss_fn(config, mesh, num_micro, stage_axis=stage_axis,
+                              batch_axis=batch_axis, compute_dtype=dtype)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, batch, step_rng)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1, rng), metrics
+
+    return train_step
+
+
+def make_pp_eval_step(
+    config: ApertisConfig,
+    mesh: Mesh,
+    num_micro: int,
+    compute_dtype: Optional[str] = None,
+    stage_axis: str = "model",
+    batch_axis: str = "data",
+):
+    dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+    loss_fn = make_pp_loss_fn(config, mesh, num_micro, stage_axis=stage_axis,
+                              batch_axis=batch_axis, compute_dtype=dtype)
+
+    def eval_step(params: Params, batch: Dict[str, jnp.ndarray]):
+        loss, metrics = loss_fn(params, batch, None)
+        return {"loss": metrics["loss"]}
+
+    return eval_step

@@ -74,6 +74,8 @@ class ApertisTrainer:
         resume_from: Optional[str] = None,
         profile_dir: Optional[str] = None,
         profile_steps: Tuple[int, int] = (10, 15),
+        pipeline_stages: int = 0,
+        pipeline_microbatches: int = 0,
     ):
         self.config = config.replace(remat=use_gradient_checkpointing)
         self.train_dataset = train_dataset
@@ -97,16 +99,52 @@ class ApertisTrainer:
             logger.info("dynamic_batch_sizing requested: static-shape XLA "
                         "programs cannot OOM mid-epoch; flag is a no-op here.")
 
-        # Mesh: default all devices on the data axis.
+        # Mesh: default all devices on the data axis. A 4th mesh_shape entry
+        # enables sequence/context parallelism (activations shard L over the
+        # `seq` axis; SSM scan + ring attention route through shard_maps).
+        # pipeline_stages > 1 repurposes the `model` axis as the GPipe stage
+        # axis (layer depth sharded instead of widths; training/pp_step.py).
         devices = jax.devices()
+        self.pipeline_stages = max(0, int(pipeline_stages))
+        if self.pipeline_stages > 1:
+            if mesh_shape is None:
+                if len(devices) % self.pipeline_stages:
+                    raise ValueError(
+                        f"{len(devices)} devices not divisible by "
+                        f"pipeline_stages {self.pipeline_stages}")
+                mesh_shape = (len(devices) // self.pipeline_stages,
+                              self.pipeline_stages, 1, 1)
+            elif tuple(mesh_shape)[1] != self.pipeline_stages:
+                raise ValueError(
+                    f"mesh_shape model axis {tuple(mesh_shape)[1]} must equal "
+                    f"pipeline_stages {self.pipeline_stages}")
         if mesh_shape is None:
-            mesh_shape = (len(devices), 1, 1)
+            mesh_shape = (len(devices), 1, 1, 1)
         self.mesh = create_mesh(devices, tuple(mesh_shape))
-        check_divisibility(self.config, self.mesh)
+        if self.pipeline_stages > 1:
+            # Depth (not width) shards over `model`; pp_step validates
+            # layers-per-stage divisibility.
+            if self.config.num_hidden_layers % self.pipeline_stages:
+                raise ValueError(
+                    f"num_hidden_layers {self.config.num_hidden_layers} must "
+                    f"divide by pipeline_stages {self.pipeline_stages}")
+        else:
+            check_divisibility(self.config, self.mesh)
         data_par = self.mesh.shape["data"]
         if batch_size % data_par:
             raise ValueError(
                 f"batch_size {batch_size} must divide by data-parallel size {data_par}")
+        self.seq_par = self.mesh.shape.get("seq", 1)
+        if self.seq_par > 1 and self.pipeline_stages > 1:
+            raise ValueError(
+                "sequence parallelism and pipeline parallelism cannot be "
+                "combined yet: pick a seq axis OR pipeline_stages")
+        if self.seq_par > 1:
+            max_len = getattr(train_dataset, "max_length", 0)
+            if max_len and max_len % self.seq_par:
+                raise ValueError(
+                    f"max_length {max_len} must divide by sequence-parallel "
+                    f"size {self.seq_par}")
 
         self.train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, drop_last=True, seed=seed)
@@ -121,11 +159,15 @@ class ApertisTrainer:
             learning_rate, total_steps, weight_decay, max_grad_norm,
             self.gradient_accumulation_steps)
 
-        sharded = shard_params(
-            jax.tree.map(lambda x: x.astype(jnp.float32)
-                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                         params),
-            self.mesh)
+        fp_params = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        if self.pipeline_stages > 1:
+            from apertis_llm_tpu.training.pp_step import shard_params_for_pipeline
+
+            sharded = shard_params_for_pipeline(fp_params, self.mesh)
+        else:
+            sharded = shard_params(fp_params, self.mesh)
         self.state = create_train_state(sharded, self.tx, jax.random.PRNGKey(seed))
         if resume_from:
             from apertis_llm_tpu.utils.checkpoint import restore_train_state
@@ -145,10 +187,41 @@ class ApertisTrainer:
 
             self.state = jax.tree.map(_place, restored, self.state)
 
-        self._train_step = jax.jit(
-            make_train_step(self.config, self.tx, self.compute_dtype),
-            donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.config, self.compute_dtype))
+        if self.pipeline_stages > 1:
+            from apertis_llm_tpu.training.pp_step import (
+                make_pp_eval_step, make_pp_train_step)
+
+            num_micro = pipeline_microbatches or self.pipeline_stages
+            if batch_size % (num_micro * data_par):
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by microbatches x "
+                    f"data parallel = {num_micro * data_par}")
+            train_step = make_pp_train_step(
+                self.config, self.tx, self.mesh, num_micro, self.compute_dtype)
+            eval_step = make_pp_eval_step(
+                self.config, self.mesh, num_micro, self.compute_dtype)
+        else:
+            train_step = make_train_step(self.config, self.tx, self.compute_dtype)
+            eval_step = make_eval_step(self.config, self.compute_dtype)
+        if self.seq_par > 1:
+            # Enter the SP context INSIDE the jitted fns so it is active at
+            # trace time and the model routes through the sequence-sharded
+            # scan / ring attention (parallel/context.py).
+            from apertis_llm_tpu.parallel.context import parallel_context
+
+            mesh = self.mesh
+            base_train, base_eval = train_step, eval_step
+
+            def train_step(state, batch):
+                with parallel_context(mesh, sp_axis="seq", batch_axis="data"):
+                    return base_train(state, batch)
+
+            def eval_step(params, batch):
+                with parallel_context(mesh, sp_axis="seq", batch_axis="data"):
+                    return base_eval(params, batch)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
 
         if self.use_wandb:

