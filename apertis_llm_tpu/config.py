@@ -96,6 +96,9 @@ class ApertisConfig:
     decode_max_length: int = 2048  # static decode cache length
     mesh_axes: Dict[str, int] = field(default_factory=dict)  # optional sharding hints
     remat: bool = False  # rematerialise layer activations in the train step
+    # Expert-parallel all-to-all dispatch bucket headroom (ops/moe_ep.py);
+    # >= n_expert_devices makes the dispatch drop-free (exact vs moe_ragged).
+    ep_capacity_factor: float = 2.0
 
     def __post_init__(self) -> None:
         if self.attention_type == "selective_linear":

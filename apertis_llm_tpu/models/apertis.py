@@ -150,6 +150,32 @@ def _sp_ctx():
     return ctx if ctx.active else None
 
 
+def _ep_ctx(num_tokens: int):
+    """Active expert-parallel context, if the token count shards evenly.
+
+    Returns (ctx, token_axes) where token_axes is the full dim-0 sharding of
+    the flat token array: batch, expert (extra data parallelism), and — when
+    SP is also on — the sequence axis (the (B, L) flatten merges them in
+    that order)."""
+    from apertis_llm_tpu.parallel import context as par_ctx
+
+    ctx = par_ctx.current()
+    if not ctx.ep_active:
+        return None
+    token_axes = []
+    if ctx.batch_axis:
+        token_axes.append(ctx.batch_axis)
+    token_axes.append(ctx.ep_axis)
+    if ctx.active:
+        token_axes.append(ctx.sp_axis)
+    shards = 1
+    for a in token_axes:
+        shards *= ctx.mesh.shape.get(a, 1)
+    if num_tokens % shards:
+        return None
+    return ctx, tuple(token_axes)
+
+
 def _mha_full(
     lp: Params,
     config: ApertisConfig,
@@ -346,7 +372,21 @@ def _ffn(
             active = moe_ops.expert_dropout_mask(
                 drop_rng, config.num_experts, config.expert_dropout_prob)
         s = b * l
-        if training and config.use_expert_capacity_limit:
+        ep = _ep_ctx(s)
+        if ep is not None:
+            # Explicit expert parallelism: all-to-all dispatch/combine over
+            # the expert mesh axis (ops/moe_ep.py), replacing GSPMD-inferred
+            # comms for the expert-sharded tree.
+            from apertis_llm_tpu.ops.moe_ep import moe_expert_parallel
+
+            ctx, token_axes = ep
+            out = moe_expert_parallel(
+                flat, routing, lp["experts"], config.hidden_act, eps,
+                mesh=ctx.mesh, expert_axis=ctx.ep_axis,
+                token_axes=token_axes,
+                capacity_factor=config.ep_capacity_factor,
+                active_mask=active)
+        elif training and config.use_expert_capacity_limit:
             capacity = max(1, int((s / config.num_experts) * config.expert_capacity_factor))
             out = moe_ops.moe_dispatch(
                 flat, routing, lp["experts"], config.hidden_act, eps,

@@ -31,11 +31,19 @@ class ParallelContext(NamedTuple):
     mesh: Optional[Mesh] = None
     sp_axis: Optional[str] = None     # sequence axis name (None = SP off)
     batch_axis: Optional[str] = None  # batch axis to preserve inside shard_map
+    ep_axis: Optional[str] = None     # expert axis for all-to-all dispatch
 
     @property
     def active(self) -> bool:
+        """Sequence parallelism enabled."""
         return (self.mesh is not None and self.sp_axis is not None
                 and self.mesh.shape.get(self.sp_axis, 1) > 1)
+
+    @property
+    def ep_active(self) -> bool:
+        """Explicit expert-parallel (all-to-all) dispatch enabled."""
+        return (self.mesh is not None and self.ep_axis is not None
+                and self.mesh.shape.get(self.ep_axis, 1) > 1)
 
 
 _LOCAL = threading.local()
@@ -46,11 +54,12 @@ def current() -> ParallelContext:
 
 
 @contextmanager
-def parallel_context(mesh: Mesh, sp_axis: str = "seq",
-                     batch_axis: Optional[str] = "data"):
-    """Enable sequence/context parallelism for model calls traced inside."""
+def parallel_context(mesh: Mesh, sp_axis: Optional[str] = "seq",
+                     batch_axis: Optional[str] = "data",
+                     ep_axis: Optional[str] = None):
+    """Enable sequence/expert parallelism for model calls traced inside."""
     prev = getattr(_LOCAL, "ctx", None)
-    _LOCAL.ctx = ParallelContext(mesh, sp_axis, batch_axis)
+    _LOCAL.ctx = ParallelContext(mesh, sp_axis, batch_axis, ep_axis)
     try:
         yield _LOCAL.ctx
     finally:

@@ -203,26 +203,42 @@ class ApertisTrainer:
         else:
             train_step = make_train_step(self.config, self.tx, self.compute_dtype)
             eval_step = make_eval_step(self.config, self.compute_dtype)
-        if self.seq_par > 1:
-            # Enter the SP context INSIDE the jitted fns so it is active at
-            # trace time and the model routes through the sequence-sharded
-            # scan / ring attention (parallel/context.py).
+
+        # Expert parallelism: with an expert axis and a MoE model, batches
+        # also shard over `expert` (extra data parallelism for non-MoE
+        # compute) and dispatch runs the explicit all-to-all (ops/moe_ep.py).
+        self.expert_par = self.mesh.shape.get("expert", 1)
+        use_ep = (self.expert_par > 1 and self.config.use_expert_system
+                  and self.pipeline_stages <= 1)
+        if use_ep and batch_size % (data_par * self.expert_par):
+            raise ValueError(
+                f"batch_size {batch_size} must divide by data x expert "
+                f"parallel = {data_par * self.expert_par}")
+        if self.seq_par > 1 or use_ep:
+            # Enter the parallel context INSIDE the jitted fns so it is
+            # active at trace time and the model routes through the
+            # sequence-sharded scan / ring attention / EP all-to-all
+            # (parallel/context.py).
             from apertis_llm_tpu.parallel.context import parallel_context
 
             mesh = self.mesh
+            ep_axis = "expert" if use_ep else None
             base_train, base_eval = train_step, eval_step
 
             def train_step(state, batch):
-                with parallel_context(mesh, sp_axis="seq", batch_axis="data"):
+                with parallel_context(mesh, sp_axis="seq", batch_axis="data",
+                                      ep_axis=ep_axis):
                     return base_train(state, batch)
 
             def eval_step(params, batch):
-                with parallel_context(mesh, sp_axis="seq", batch_axis="data"):
+                with parallel_context(mesh, sp_axis="seq", batch_axis="data",
+                                      ep_axis=ep_axis):
                     return base_eval(params, batch)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
-        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        batch_spec = P(("data", "expert")) if use_ep else P("data")
+        self._batch_sharding = NamedSharding(self.mesh, batch_spec)
 
         if self.use_wandb:
             try:

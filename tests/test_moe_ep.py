@@ -1,0 +1,166 @@
+"""Expert-parallel all-to-all dispatch (ops/moe_ep.py): numerics equal the
+single-device MoE, gradients flow, and the compiled HLO really contains
+all-to-all collectives (not a GSPMD activation all-gather) — VERDICT r1
+item 3."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from apertis_llm_tpu.ops import moe as moe_ops
+from apertis_llm_tpu.ops.moe_ep import ep_capacity, moe_expert_parallel
+from apertis_llm_tpu.parallel.mesh import create_mesh
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices")
+
+S, H, I, E, K = 64, 32, 64, 8, 2
+EPS = 1e-5
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(S, H)), jnp.float32)
+    ep = {
+        "ln_w": jnp.asarray(rng.normal(size=(E, H)) * 0.1 + 1, jnp.float32),
+        "ln_b": jnp.asarray(rng.normal(size=(E, H)) * 0.1, jnp.float32),
+        "w1": jnp.asarray(rng.normal(size=(E, H, I)) * 0.1, jnp.float32),
+        "b1": jnp.asarray(rng.normal(size=(E, I)) * 0.1, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(E, I, H)) * 0.1, jnp.float32),
+        "b2": jnp.asarray(rng.normal(size=(E, H)) * 0.1, jnp.float32),
+    }
+    router = {
+        "ln_w": jnp.ones((H,), jnp.float32),
+        "ln_b": jnp.zeros((H,), jnp.float32),
+        "w": jnp.asarray(rng.normal(size=(H, E)) * 0.3, jnp.float32),
+        "b": jnp.zeros((E,), jnp.float32),
+    }
+    routing = moe_ops.route(x, router["ln_w"], router["ln_b"],
+                            router["w"], router["b"], K, layer_norm_eps=EPS)
+    return x, ep, routing
+
+
+def _mesh():
+    return create_mesh(jax.devices()[:8], (2, 1, 4, 1))
+
+
+def _shard(mesh, x, ep, routing):
+    tok = NamedSharding(mesh, P(("data", "expert"), None))
+    xs = jax.device_put(x, tok)
+    eps_sharded = jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(
+            mesh, P(*(("expert",) + (None,) * (leaf.ndim - 1))))), ep)
+    rs = moe_ops.RouterOutput(
+        jax.device_put(routing.weights, tok),
+        jax.device_put(routing.indices, tok),
+        routing.lb_loss, routing.rz_loss)
+    return xs, eps_sharded, rs
+
+
+def test_moe_ep_matches_dense():
+    """Drop-free capacity: EP output == moe_dense == moe_ragged."""
+    x, ep, routing = _setup()
+    want = moe_ops.moe_dense(x, routing, ep, "gelu", EPS)
+
+    mesh = _mesh()
+    xs, eps_sharded, rs = _shard(mesh, x, ep, routing)
+    got = jax.jit(lambda x, e, w, i: moe_expert_parallel(
+        x, moe_ops.RouterOutput(w, i, routing.lb_loss, routing.rz_loss),
+        e, "gelu", EPS, mesh, capacity_factor=float(mesh.shape["expert"])),
+    )(xs, eps_sharded, rs.weights, rs.indices)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_ep_hlo_has_all_to_all_no_all_gather():
+    """The compiled program dispatches with all-to-all; activations are never
+    all-gathered across the expert axis (the GSPMD-faith failure mode)."""
+    x, ep, routing = _setup()
+    mesh = _mesh()
+    xs, eps_sharded, rs = _shard(mesh, x, ep, routing)
+
+    fn = jax.jit(lambda x, e, w, i: moe_expert_parallel(
+        x, moe_ops.RouterOutput(w, i, routing.lb_loss, routing.rz_loss),
+        e, "gelu", EPS, mesh, capacity_factor=4.0))
+    compiled = fn.lower(xs, eps_sharded, rs.weights, rs.indices).compile()
+    hlo = compiled.as_text()
+    assert "all-to-all" in hlo
+    assert "all-gather" not in hlo
+
+
+def test_moe_ep_capacity_drops_overflow():
+    """Tiny capacity drops overflowing pairs instead of corrupting output."""
+    x, ep, routing = _setup()
+    mesh = _mesh()
+    xs, eps_sharded, rs = _shard(mesh, x, ep, routing)
+    out = jax.jit(lambda x, e, w, i: moe_expert_parallel(
+        x, moe_ops.RouterOutput(w, i, routing.lb_loss, routing.rz_loss),
+        e, "gelu", EPS, mesh, capacity_factor=0.25),
+    )(xs, eps_sharded, rs.weights, rs.indices)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # capacity=1 per (src,dst): at most n_dev tokens per source survive.
+    assert ep_capacity(S // 8, K, 4, 0.25) == 1
+
+
+def test_moe_ep_grads_match_dense():
+    x, ep, routing = _setup(1)
+    mesh = _mesh()
+    xs, eps_sharded, rs = _shard(mesh, x, ep, routing)
+
+    def loss_dense(e):
+        return jnp.sum(moe_ops.moe_dense(x, routing, e, "gelu", EPS) ** 2)
+
+    def loss_ep(e):
+        return jnp.sum(moe_expert_parallel(
+            x, routing, e, "gelu", EPS, mesh, capacity_factor=4.0) ** 2)
+
+    gd = jax.grad(loss_dense)(ep)
+    ge = jax.jit(jax.grad(loss_ep))(eps_sharded)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(ge)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_full_model_ep_loss_matches_single_device():
+    """MoE model loss with the trainer's EP context == unsharded (1e-4)."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.parallel.context import parallel_context
+    from apertis_llm_tpu.training.step import loss_fn
+
+    config = ApertisConfig.from_dict(dict(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attention_type="selective_ssm", ssm_d_state=8,
+        use_expert_system=True, num_experts=8, experts_per_token=2,
+        use_noisy_top_k_routing=False, use_expert_dropout=False,
+        use_expert_capacity_limit=False,
+        ep_capacity_factor=4.0,
+    ))
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(4, config.vocab_size, size=(8, 16)).astype(np.int32)
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((8, 16), jnp.int32),
+             "labels": jnp.asarray(ids)}
+
+    single = float(loss_fn(params, config, batch, None)[0])
+
+    mesh = _mesh()
+    from apertis_llm_tpu.parallel.sharding import shard_params
+
+    sharded = shard_params(params, mesh)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P(("data", "expert"))))
+
+    def ep_loss(p, bt):
+        with parallel_context(mesh, sp_axis="seq", batch_axis="data",
+                              ep_axis="expert"):
+            return loss_fn(p, config, bt, None)[0]
+
+    dist = float(jax.jit(ep_loss)(sharded, sbatch))
+    assert abs(single - dist) < 1e-4, f"{single} vs {dist}"
