@@ -166,9 +166,16 @@ def main():
                         rng=jax.random.PRNGKey(seed))
         return time.perf_counter() - t0
 
+    c0 = run(1, 0)         # compile TTFT shape (prefill + 1 token)
     c1 = run(n_short, 0)   # compile short
     c2 = run(n_long, 0)    # compile long
-    log(f"compiles: short {c1:.1f}s, long {c2:.1f}s")
+    log(f"compiles: ttft {c0:.1f}s, short {c1:.1f}s, long {c2:.1f}s")
+    # TTFT = image+text prefill + first decoded token, p50 of 5 fresh-input
+    # runs (BASELINE.md north-star row: p50 TTFT on image+text).
+    ttft_samples = sorted(run(1, 10 + i) for i in range(5))
+    ttft_p50_ms = ttft_samples[2] * 1e3
+    log(f"TTFT(b{batch} image+text): p50 {ttft_p50_ms:.0f} ms "
+        f"(samples {[f'{t*1e3:.0f}' for t in ttft_samples]})")
     t_short = min(run(n_short, i) for i in (1, 2))
     t_long = min(run(n_long, i) for i in (3, 4))
     steps = n_long - n_short
@@ -192,6 +199,7 @@ def main():
         "value": round(decode_tps, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(decode_tps / 10000.0, 3),
+        "ttft_p50_ms": round(ttft_p50_ms, 1),
     }))
 
 
