@@ -29,6 +29,7 @@ def chat_command(args) -> None:
         device=args.device,
         web=args.web,
         port=args.port,
+        quantize=args.quantize,
     )
     if args.web:
         return
@@ -141,6 +142,7 @@ def eval_command(args) -> None:
         tokenizer_path=args.vocab_file,
         batch_size=args.batch_size,
         max_items=args.max_items,
+        prompt_template=args.prompt_template,
     )
     print(json.dumps(result, indent=2))
 
@@ -183,6 +185,9 @@ def build_parser() -> argparse.ArgumentParser:
     chat.add_argument("--multimodal", action="store_true")
     chat.add_argument("--image", type=str)
     chat.add_argument("--device", type=str)
+    chat.add_argument("--quantize", type=str, choices=["int8"],
+                      help="weight-only int8 serving (vision subtree and "
+                           "routers stay full precision)")
     chat.add_argument("--web", action="store_true")
     chat.add_argument("--port", type=int, default=7860)
     chat.add_argument("--share", action="store_true")
@@ -230,6 +235,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--vocab-file", type=str)
     ev.add_argument("--batch-size", type=int, default=8)
     ev.add_argument("--max-items", type=int)
+    ev.add_argument("--prompt-template", type=str,
+                    default="Question: {question}\nAnswer:",
+                    help="multiple_choice prompt; '{question}' scores the "
+                         "question text verbatim")
 
     cfg = sub.add_parser("create-config", help="Create a sample training configuration")
     cfg.add_argument("--output", type=str, default="config.json")

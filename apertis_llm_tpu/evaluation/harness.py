@@ -149,6 +149,7 @@ def run_eval(
     tokenizer_path: Optional[str] = None,
     batch_size: int = 8,
     max_items: Optional[int] = None,
+    prompt_template: str = "Question: {question}\nAnswer:",
 ) -> Dict[str, float]:
     """Load a checkpoint and evaluate it on a JSONL dataset."""
     from apertis_llm_tpu.inference.interface import ApertisInterface
@@ -174,7 +175,8 @@ def run_eval(
         result = compute_perplexity(params, config, rows, batch_size)
     elif task == "multiple_choice":
         result = evaluate_multiple_choice(
-            params, config, items, iface.tokenize, batch_size)
+            params, config, items, iface.tokenize, batch_size,
+            prompt_template=prompt_template)
     else:
         raise ValueError(f"Unknown eval task: {task}")
     logger.info("Eval %s on %s: %s", task, data_path, result)

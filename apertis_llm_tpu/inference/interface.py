@@ -42,12 +42,17 @@ class ApertisInterface:
         web: bool = False,
         port: int = 7860,
         dtype: Optional[str] = None,
+        quantize: Optional[str] = None,
     ):
+        if quantize not in (None, "", "int8"):
+            raise ValueError(f"Unsupported quantize mode: {quantize!r} "
+                             "(expected 'int8')")
         self.model_path_arg = model_path
         self.vocab_file_fallback_arg = vocab_file
         self.multimodal = multimodal
         self.port = port
         self.dtype = dtype
+        self.quantize = quantize or None
 
         self.config: Optional[ApertisConfig] = None
         self.params = None
@@ -135,6 +140,13 @@ class ApertisInterface:
                     if tid is not None:
                         setattr(config, attr, tid)
             self.config = config
+            if self.quantize == "int8":
+                # Weight-only int8 serving: {w_q, w_s} trees; the engine's
+                # batch-aware dispatch picks dequant vs int8-MXU per shape.
+                from apertis_llm_tpu.models.quantize import quantize_params
+
+                params = quantize_params(params)
+                logger.info("Quantized serving weights to int8")
             self.params = params
             self.engine = InferenceEngine(config, params, dtype=self.dtype)
             self.actual_model_path_loaded = str(model_path)

@@ -109,3 +109,36 @@ def test_ui_backend_jobs(model_dir, tmp_path):
 
     # Stop on an idle job reports cleanly.
     assert "No Fine-tuning job" in backend.finetune_job.stop()
+
+
+def test_interface_int8_quantized_serving(tmp_path):
+    """`quantize="int8"` (CLI: chat --quantize int8) serves from a {w_q, w_s}
+    tree and still chats; greedy reply matches the bf16 interface. The model
+    must be big enough to clear quantize_params' production min_size."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.inference.interface import ApertisInterface
+    from apertis_llm_tpu.models.convert import save_torch_checkpoint
+    from apertis_llm_tpu.models.params import init_params
+
+    config = ApertisConfig(vocab_size=32, hidden_size=256,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=512,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    save_torch_checkpoint(params, config, tmp_path, filename="model.pt")
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3,
+             "hello": 4, "world": 5, "the": 6, "cat": 7}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+
+    kw = dict(model_path=str(tmp_path),
+              vocab_file=str(tmp_path / "vocab.json"))
+    iface_q = ApertisInterface(quantize="int8", **kw)
+    assert "w_q" in iface_q.params["layers"]["ffn"]["w1"]
+    reply_q = iface_q.chat("hello the cat", max_length=5, temperature=0.0)
+    iface = ApertisInterface(**kw)
+    reply = iface.chat("hello the cat", max_length=5, temperature=0.0)
+    assert reply_q == reply
+
+    with pytest.raises(ValueError):
+        ApertisInterface(quantize="int4", **kw)
