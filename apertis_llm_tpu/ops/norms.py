@@ -20,7 +20,17 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarr
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     # RMS = ||x||_2 / sqrt(D); epsilon added to the RMS, not the variance.
-    rms = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) * (x.shape[-1] ** -0.5)
+    #
+    # All-zero rows are routine in training: the pad embedding row is
+    # zero-initialised (reference: core.py:1051) and selective-SSM layers
+    # propagate exact zeros at trailing pad positions. torch's ``x.norm()``
+    # defines the subgradient at the origin as 0, but a naive
+    # ``sqrt(sum(x^2))`` has infinite slope there and NaNs the whole
+    # backward pass — guard the sqrt so the gradient at 0 is 0 (forward
+    # values are bit-identical: sqrt(0) was already 0).
+    ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    rms = jnp.where(ss > 0, jnp.sqrt(jnp.where(ss > 0, ss, 1.0)), 0.0)
+    rms = rms * (x.shape[-1] ** -0.5)
     out = xf / (rms + eps) * scale.astype(jnp.float32)
     return out.astype(dtype)
 

@@ -149,3 +149,34 @@ def test_finetune_embedding_resize():
     np.testing.assert_array_equal(
         np.asarray(resized["embed"]["tok"][:100]),
         np.asarray(params["embed"]["tok"]))
+
+
+def test_grads_finite_with_pad_token_tails():
+    """Regression: zero pad-embedding rows (reference zero-inits padding_idx,
+    core.py:1051) flow through RMSNorm as exact-zero vectors; the naive
+    sqrt-of-sum-of-squares backward is infinite at 0 and NaN'd every SSM
+    training run on real padded batches. torch's x.norm() subgradient at the
+    origin is 0 — ours must match."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.step import loss_fn
+
+    config = ApertisConfig(vocab_size=64, hidden_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, intermediate_size=128,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           use_rmsnorm=True, use_swiglu=True)
+    params = init_params(jax.random.PRNGKey(0), config)
+    ids = np.random.default_rng(0).integers(4, 64, (4, 16))
+    ids[:, 6:] = config.pad_token_id            # trailing pad runs
+    ids = jnp.asarray(ids, jnp.int32)
+    labels = jnp.where(ids == config.pad_token_id, -100, ids)
+    batch = {"input_ids": ids, "labels": labels,
+             "attention_mask": (ids != config.pad_token_id).astype(jnp.int32)}
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, config, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
