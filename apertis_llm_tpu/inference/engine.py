@@ -103,9 +103,14 @@ def _generate_impl(
     buf_len = lp + gen.max_new_tokens
 
     cache = model_lib.init_cache(config, b, max_length=cache_len)
+    # Only each row's last real prompt token's logits are consumed below —
+    # prefill skips the lm_head everywhere else.
+    lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)          # (B,)
+    last_idx = jnp.maximum(lens - 1, 0)
     pre = model_lib.prefill(
         params, config, cache, input_ids,
-        attention_mask=attention_mask, pixel_values=pixel_values)
+        attention_mask=attention_mask, pixel_values=pixel_values,
+        logit_positions=last_idx)
 
     tokens = jnp.concatenate(
         [input_ids, jnp.full((b, gen.max_new_tokens), gen.pad_token_id,
@@ -117,10 +122,7 @@ def _generate_impl(
         mask, attention_mask.astype(jnp.int32), (0, num_img))
 
     # Logit of the last REAL prompt token per row (prompts are right-padded).
-    lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)          # (B,)
-    last_idx = jnp.maximum(lens - 1, 0)
-    first_logits = jnp.take_along_axis(
-        pre.logits, last_idx[:, None, None], axis=1)[:, 0, :]
+    first_logits = pre.logits[:, 0, :]
 
     def sample(rng, logits, state_tokens, filled):
         # History = real prompt tokens + generated region (bucket pads excluded).
@@ -306,7 +308,8 @@ class InferenceEngine:
         cache = model_lib.init_cache(config, 1, max_length=cache_len)
         kwargs = {"pixel_values": jnp.asarray(pixel_values)} if pixel_values is not None else {}
         pre = prefill_fn(self.params, cache, jnp.asarray(padded),
-                         jnp.asarray(attn), **kwargs)
+                         jnp.asarray(attn), jnp.asarray([l - 1], jnp.int32),
+                         **kwargs)
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
@@ -325,7 +328,7 @@ class InferenceEngine:
         sample_fn = self._jit_stream_sample(
             do_sample, temperature, top_k, top_p, repetition_penalty)
 
-        logits = pre.logits[:, l - 1, :]
+        logits = pre.logits[:, 0, :]
         cache = pre.cache
         filled = l
         t = num_img + bucket       # physical cache slot for the next token
@@ -347,10 +350,11 @@ class InferenceEngine:
         if fn is None:
             config = self.config
 
-            def run(params, cache, ids, attn, pixel_values=None):
+            def run(params, cache, ids, attn, last_idx, pixel_values=None):
                 return model_lib.prefill(params, config, cache, ids,
                                          attention_mask=attn,
-                                         pixel_values=pixel_values)
+                                         pixel_values=pixel_values,
+                                         logit_positions=last_idx)
 
             fn = jax.jit(run)
             self._compiled[key] = fn

@@ -686,8 +686,15 @@ def prefill(
     attention_mask: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
     pixel_values: Optional[jnp.ndarray] = None,
+    logit_positions: Optional[jnp.ndarray] = None,
 ) -> PrefillOutput:
-    """Run the prompt through the model, filling the decode cache."""
+    """Run the prompt through the model, filling the decode cache.
+
+    ``logit_positions`` (B,) — text positions whose logits are needed (the
+    serving engine only consumes each row's last real token). When given,
+    the lm_head runs on those single positions instead of the whole
+    sequence (saves ~2*V*D FLOPs per skipped position and the (B, L, V)
+    logits materialisation) and ``logits`` has shape (B, 1, V)."""
     embeds, pos_ids, attention_mask, num_img = assemble_inputs(
         params, config, input_ids, attention_mask, position_ids, pixel_values)
     l_total = embeds.shape[1]
@@ -711,7 +718,11 @@ def prefill(
     h, stacked_cache = jax.lax.scan(
         body, embeds, (params["layers"], jnp.arange(config.num_hidden_layers)))
     h = _apply_norm(params["final_norm"], h, config.layer_norm_eps)
-    logits = _lm_head(params, h[:, num_img:, :] if num_img > 0 else h)
+    h_text = h[:, num_img:, :] if num_img > 0 else h
+    if logit_positions is not None:
+        h_text = jnp.take_along_axis(
+            h_text, logit_positions.astype(jnp.int32)[:, None, None], axis=1)
+    logits = _lm_head(params, h_text)
 
     if config.attention_type == "selective_ssm":
         new_cache = {"conv": stacked_cache["conv"], "ssm": stacked_cache["ssm"]}

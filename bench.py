@@ -142,6 +142,7 @@ def main():
 
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     from apertis_llm_tpu.inference.engine import InferenceEngine
 
@@ -158,8 +159,14 @@ def main():
                                           config.image_size, 3)).astype(np.uint8)
         return prompt, pixels
 
-    def run(n_tokens, seed):
+    def run(n_tokens, seed, stage_pixels=False):
         prompt, pixels = fresh_inputs(seed)
+        if stage_pixels:
+            # Pre-stage the 38 MB image batch on device: isolates model
+            # latency from the tunnel's host->device transfer jitter (a
+            # production PCIe link moves this in ~4 ms).
+            pixels = jax.device_put(pixels)
+            _ = float(jnp.sum(pixels.astype(jnp.float32)))  # force the copy
         t0 = time.perf_counter()
         engine.generate(prompt, pixel_values=pixels, max_new_tokens=n_tokens,
                         eos_token_id=(), do_sample=False,
@@ -178,6 +185,10 @@ def main():
     ttft_p50_ms = ttft_samples[2] * 1e3
     log(f"TTFT(b{batch} image+text): p50 {ttft_p50_ms:.0f} ms "
         f"(samples {[f'{t*1e3:.0f}' for t in ttft_samples]})")
+    ttft_dev = sorted(run(1, 20 + i, stage_pixels=True) for i in range(5))
+    ttft_device_p50_ms = ttft_dev[2] * 1e3
+    log(f"TTFT(device-staged pixels): p50 {ttft_device_p50_ms:.0f} ms "
+        f"(samples {[f'{t*1e3:.0f}' for t in ttft_dev]})")
     # Fixed protocol (VERDICT r1 item 7): `samples` interleaved short/long
     # pairs on fresh inputs. The axon tunnel adds rare one-sided wall-clock
     # stalls (seconds), so the headline estimator is the DELTA OF MEDIANS —
@@ -212,6 +223,7 @@ def main():
         "unit": "tok/s/chip",
         "vs_baseline": round(decode_tps / 10000.0, 3),
         "ttft_p50_ms": round(ttft_p50_ms, 1),
+        "ttft_device_p50_ms": round(ttft_device_p50_ms, 1),
         "samples": samples,
         "spread_pct": round(spread_pct, 1),
     }))
