@@ -201,6 +201,7 @@ def train_from_config(config_path: str,
         mesh_shape=train_cfg.get("mesh_shape"),
         pipeline_stages=train_cfg.get("pipeline_stages", 0),
         pipeline_microbatches=train_cfg.get("pipeline_microbatches", 0),
+        pipeline_schedule=train_cfg.get("pipeline_schedule", "gpipe"),
         stop_event=stop_event,
         is_fine_tuning=is_fine_tuning,
         tokenizer_path_to_save=tokenizer_path,
@@ -290,8 +291,9 @@ def create_sample_config(output_path: str) -> None:
             "use_wandb": False,
             "wandb_project": "apertis",
             "mesh_shape": None,        # [data, model, expert, seq]; seq>1 = sequence parallel
-            "pipeline_stages": 0,      # >1: GPipe over the model axis (depth-sharded)
+            "pipeline_stages": 0,      # >1: pipeline over the model axis (depth-sharded)
             "pipeline_microbatches": 0,  # default = pipeline_stages
+            "pipeline_schedule": "gpipe",  # or "1f1b" (O(stages) activation stash)
             "seed": 0,
             "resume_from": None,
             "pretrained_model_path_for_finetune": None,

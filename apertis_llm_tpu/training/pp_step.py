@@ -237,6 +237,285 @@ def make_pp_loss_fn(
     return loss_fn
 
 
+def make_pp_loss_and_grads_1f1b(
+    config: ApertisConfig,
+    mesh: Mesh,
+    num_micro: int,
+    *,
+    stage_axis: str = "model",
+    batch_axis: str = "data",
+    compute_dtype=None,
+):
+    """1F1B pipeline schedule: loss AND grads in one interleaved pass.
+
+    GPipe (``make_pp_loss_fn`` + autodiff) stashes one residual set per tick
+    — O(num_micro) microbatch activations live until the backward sweep.
+    1F1B interleaves each microbatch's backward as soon as its forward
+    clears the last stage, so the live stash is a ring of at most
+    ``2 * n_stages`` stage INPUTS per stage (independent of num_micro); the
+    backward recomputes the stage body from the stashed input (remat-style
+    ``jax.vjp``), trading one extra forward per microbatch per stage.
+
+    Schedule (tick t, stage s, S stages, M microbatches, one fwd unit and
+    one bwd unit per tick):
+      * forward of microbatch f at stage s fires at  t = s + f
+      * backward of microbatch b at stage s fires at t = (2S - 2 - s) + b
+    so activations and cotangents each ride one ``ppermute`` hop per tick
+    (down for y, up for dx), and the last stage turns a microbatch around
+    in the same tick (fwd -> loss tail -> its own bwd).
+
+    Exactness: the cross-entropy is normalised by the GLOBAL valid-token
+    count (computed from labels before the loop), so gradients match the
+    single-program loss exactly; MoE lb/z losses are per-microbatch means
+    as in the GPipe path. Deviation (documented): embedding/hidden dropout
+    masks are folded per microbatch, so with dropout > 0 the sampled masks
+    differ from the GPipe path (both are valid dropout draws).
+
+    Returns ``fn(params, batch, rng) -> (loss, metrics, grads)``.
+    """
+    n_stages = mesh.shape[stage_axis]
+    if config.num_hidden_layers % n_stages:
+        raise ValueError(
+            f"num_hidden_layers {config.num_hidden_layers} must divide by "
+            f"pipeline stages {n_stages}")
+    layers_per_stage = config.num_hidden_layers // n_stages
+    is_mha = config.attention_type != "selective_ssm"
+    data_par = mesh.shape.get(batch_axis, 1)
+    eps = config.layer_norm_eps
+    moe = bool(config.use_expert_system)
+
+    def fn(params: Params, batch: Dict[str, jnp.ndarray],
+           rng: Optional[jax.Array]):
+        if "pixel_values" in batch and batch["pixel_values"] is not None:
+            raise NotImplementedError(
+                "pipeline-parallel training is text-only; use the GSPMD mesh "
+                "axes for multimodal models")
+        run_params = params
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            run_params = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+        ids = batch["input_ids"]
+        labels = batch["labels"]
+        attention_mask = batch.get("attention_mask")
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(ids)
+        b, l = ids.shape
+        if b % num_micro:
+            raise ValueError(f"batch {b} must divide by microbatches {num_micro}")
+        mb = b // num_micro
+        M, S = num_micro, n_stages
+        R = 2 * S                      # stash ring depth (in-flight bound)
+        ticks = M + 2 * S - 1
+
+        pos_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :],
+                                   (b, l))
+        ids_mb = ids.reshape(M, mb, l)
+        pos_mb = pos_ids.reshape(M, mb, l)
+        labels_mb = labels.reshape(M, mb, l)
+        bias_mb = None
+        if is_mha:
+            bias = model_lib._build_bias(attention_mask, l, 0, jnp.float32)
+            bias_mb = bias.reshape(M, mb, 1, l, l)
+        cos_t, sin_t = model_lib._rope_tables_if_needed(config)
+        # Global CE normaliser, known before any pipeline work.
+        total_count = jnp.maximum(
+            jnp.sum((labels[:, 1:] != -100).astype(jnp.float32)), 1.0)
+
+        rngs = (jax.random.split(rng, 2) if rng is not None else [None, None])
+        emb_rng, layer_rng = rngs[0], rngs[1]
+        h_dtype = (compute_dtype if compute_dtype is not None
+                   else params["embed"]["tok"].dtype)
+
+        def stage_body(local_layers, tail_params, ids_mb, pos_mb, labels_mb,
+                       total_count, *rest):
+            bias_mb = rest[0] if is_mha else None
+            s = jax.lax.axis_index(stage_axis)
+            is_first = s == 0
+            is_last = s == S - 1
+            mb_local = ids_mb.shape[1]   # per-data-shard microbatch rows
+
+            def pre_fn(tp, ids_1, pos_1, mb_idx):
+                e = jnp.take(tp["embed"]["tok"], ids_1, axis=0)
+                if (config.position_embedding_type == "absolute"
+                        and "abs_pos" in tp):
+                    e = e + jnp.take(tp["abs_pos"]["emb"], pos_1, axis=0)
+                r = (jax.random.fold_in(emb_rng, mb_idx)
+                     if emb_rng is not None else None)
+                return model_lib._dropout(
+                    r, e.astype(h_dtype), config.hidden_dropout_prob, True)
+
+            def local_fwd(Lp, h, mb_idx, pos_1, bias_1):
+                def scan_fn(carry, xs):
+                    h, lb, rz = carry
+                    lp, li = xs
+                    r = None
+                    if layer_rng is not None:
+                        r = jax.random.fold_in(
+                            jax.random.fold_in(layer_rng, mb_idx),
+                            s * layers_per_stage + li)
+                    h, _, lb_i, rz_i, _ = model_lib._layer_full(
+                        lp, config, h, bias_1, pos_1, cos_t, sin_t,
+                        training=True, rng=r, want_cache=False)
+                    return (h, lb + lb_i, rz + rz_i), None
+
+                zf = jnp.zeros((), jnp.float32)
+                (h, lb, rz), _ = jax.lax.scan(
+                    scan_fn, (h, zf, zf),
+                    (Lp, jnp.arange(layers_per_stage)))
+                return h, lb, rz
+
+            def tail_sum_nll(tp, y, labels_1):
+                hn = model_lib._apply_norm(tp["final_norm"], y, eps)
+                logits = model_lib._lm_head(tp, hn)
+                shift_logits = logits[:, :-1, :].astype(jnp.float32)
+                shift_labels = labels_1[:, 1:]
+                valid = shift_labels != -100
+                safe = jnp.where(valid, shift_labels, 0)
+                logp = jax.nn.log_softmax(shift_logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+                return jnp.sum(jnp.where(valid, nll, 0.0))
+
+            axes = ((stage_axis,) if data_par == 1
+                    else (stage_axis, batch_axis))
+
+            def varying(x):
+                pcast = getattr(jax.lax, "pcast", None)
+                if pcast is not None:
+                    return pcast(x, axes, to="varying")
+                return jax.lax.pvary(x, axes)
+
+            hidden = tail_params["embed"]["tok"].shape[-1]
+            zero_h = jnp.zeros((mb_local, l, hidden), h_dtype)
+            zeros_f32 = jnp.zeros((), jnp.float32)
+            carry0 = dict(
+                h_recv=varying(zero_h),
+                g_recv=varying(zero_h),
+                stash=varying(jnp.zeros((R, mb_local, l, hidden), h_dtype)),
+                loss=varying(zeros_f32),
+                lb=varying(zeros_f32),
+                rz=varying(zeros_f32),
+                dlayers=varying(jax.tree.map(
+                    lambda x: jnp.zeros(x.shape, jnp.float32), local_layers)),
+                dtail=varying(jax.tree.map(
+                    lambda x: jnp.zeros(x.shape, jnp.float32), tail_params)),
+            )
+            perm_down = [(i, (i + 1) % S) for i in range(S)]
+            perm_up = [(i, (i - 1) % S) for i in range(S)]
+
+            def tick(t, carry):
+                f = jnp.clip(t - s, 0, M - 1)
+                fwd_on = (t >= s) & (t < s + M)
+                b_ = jnp.clip(t - (2 * S - 2 - s), 0, M - 1)
+                bwd_on = (t >= 2 * S - 2 - s) & (t < 2 * S - 2 - s + M)
+
+                ids_f = jax.lax.dynamic_index_in_dim(ids_mb, f, 0, False)
+                pos_f = jax.lax.dynamic_index_in_dim(pos_mb, f, 0, False)
+                lab_f = jax.lax.dynamic_index_in_dim(labels_mb, f, 0, False)
+                bias_f = (jax.lax.dynamic_index_in_dim(bias_mb, f, 0, False)
+                          if is_mha else None)
+
+                # ---- forward unit (microbatch f) ----
+                h_emb = pre_fn(tail_params, ids_f, pos_f, f)
+                h_in = jnp.where(is_first, h_emb, carry["h_recv"])
+                y, lb_f, rz_f = local_fwd(local_layers, h_in, f, pos_f, bias_f)
+                slot = jnp.remainder(f, R)
+                stash = jax.lax.dynamic_update_index_in_dim(
+                    carry["stash"],
+                    jnp.where(fwd_on, h_in, carry["stash"][slot]), slot, 0)
+                lb_acc = carry["lb"] + jnp.where(fwd_on, lb_f, 0.0)
+                rz_acc = carry["rz"] + jnp.where(fwd_on, rz_f, 0.0)
+
+                # Loss tail on the last stage; cotangent masked so the vjp
+                # contributes exactly when (is_last & fwd_on).
+                sum_nll, tail_vjp = jax.vjp(
+                    lambda tp, yy: tail_sum_nll(tp, yy, lab_f),
+                    tail_params, y)
+                ct = jnp.where(is_last & fwd_on, 1.0 / total_count, 0.0)
+                dtail_mb, dy = tail_vjp(ct)
+                loss_acc = carry["loss"] + jnp.where(
+                    is_last & fwd_on, sum_nll, 0.0)
+
+                # ---- backward unit (microbatch b_) ----
+                pos_b = jax.lax.dynamic_index_in_dim(pos_mb, b_, 0, False)
+                bias_b = (jax.lax.dynamic_index_in_dim(bias_mb, b_, 0, False)
+                          if is_mha else None)
+                h_b = stash[jnp.remainder(b_, R)]
+                g_in = jnp.where(is_last, dy, carry["g_recv"])
+                g_eff = jnp.where(bwd_on, g_in, jnp.zeros_like(g_in))
+                aux_ct = jnp.where(
+                    bwd_on & jnp.asarray(moe), 1.0 / (M * data_par), 0.0)
+                _, f_vjp = jax.vjp(
+                    lambda Lp, hh: local_fwd(Lp, hh, b_, pos_b, bias_b),
+                    local_layers, h_b)
+                dlayers_mb, dh = f_vjp((g_eff, aux_ct, aux_ct))
+                dlayers = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32),
+                    carry["dlayers"], dlayers_mb)
+
+                # Stage 0 feeds its input cotangent into the embedding vjp.
+                ids_b = jax.lax.dynamic_index_in_dim(ids_mb, b_, 0, False)
+                dh_emb = jnp.where(is_first, dh, jnp.zeros_like(dh))
+                _, pre_vjp = jax.vjp(
+                    lambda tp: pre_fn(tp, ids_b, pos_b, b_), tail_params)
+                (dtail_emb,) = pre_vjp(dh_emb)
+                dtail = jax.tree.map(
+                    lambda a, g1, g2: a + g1.astype(jnp.float32)
+                    + g2.astype(jnp.float32),
+                    carry["dtail"], dtail_mb, dtail_emb)
+
+                h_next = jax.lax.ppermute(y, stage_axis, perm_down)
+                g_next = jax.lax.ppermute(dh, stage_axis, perm_up)
+                return dict(h_recv=h_next, g_recv=g_next, stash=stash,
+                            loss=loss_acc, lb=lb_acc, rz=rz_acc,
+                            dlayers=dlayers, dtail=dtail)
+
+            out = jax.lax.fori_loop(0, ticks, tick, carry0)
+
+            ce = jax.lax.psum(out["loss"], axes) / total_count
+            lb = jax.lax.psum(out["lb"], axes) / (M * data_par)
+            rz = jax.lax.psum(out["rz"], axes) / (M * data_par)
+            loss = ce + lb + rz if moe else ce
+            # Layer grads live sharded on the stage axis (summed over data);
+            # tail/embed grads are contributed by specific stages -> psum.
+            dlayers = (jax.tree.map(
+                lambda g: jax.lax.psum(g, batch_axis), out["dlayers"])
+                if data_par > 1 else out["dlayers"])
+            dtail = jax.tree.map(lambda g: jax.lax.psum(g, axes), out["dtail"])
+            return loss, lb, rz, dlayers, dtail
+
+        layer_specs = jax.tree.map(lambda _: P(stage_axis),
+                                   run_params["layers"])
+        tail_params = {k: v for k, v in run_params.items() if k != "layers"}
+        tail_specs = jax.tree.map(lambda _: P(), tail_params)
+        mb_spec = P(None, batch_axis, None)
+        in_specs = [layer_specs, tail_specs, mb_spec, mb_spec, mb_spec, P()]
+        args = [run_params["layers"], tail_params, ids_mb, pos_mb, labels_mb,
+                total_count]
+        if is_mha:
+            in_specs.append(P(None, batch_axis, None, None, None))
+            args.append(bias_mb)
+
+        loss, lb, rz, dlayers, dtail = jax.shard_map(
+            stage_body, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(), P(), P(),
+                       jax.tree.map(lambda _: P(stage_axis),
+                                    run_params["layers"]),
+                       jax.tree.map(lambda _: P(), tail_params)),
+            check_vma=False,
+        )(*args)
+        grads = dict(dtail)
+        grads["layers"] = dlayers
+        # Match the params tree exactly (tail_params is params minus layers).
+        grads = {k: grads[k] for k in params.keys()}
+        metrics = {"loss": loss, "lb_loss": lb, "rz_loss": rz}
+        return loss, metrics, grads
+
+    return fn
+
+
 def make_pp_train_step(
     config: ApertisConfig,
     tx: optax.GradientTransformation,
@@ -245,8 +524,31 @@ def make_pp_train_step(
     compute_dtype: Optional[str] = None,
     stage_axis: str = "model",
     batch_axis: str = "data",
+    schedule: str = "gpipe",
 ):
+    """Pipeline-parallel train step. ``schedule``: "gpipe" (forward schedule
+    + autodiff backward, stash O(num_micro)) or "1f1b" (interleaved
+    fwd/bwd, stash O(n_stages), backward recomputes stage bodies)."""
     dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+    if schedule == "1f1b":
+        lg_fn = make_pp_loss_and_grads_1f1b(
+            config, mesh, num_micro, stage_axis=stage_axis,
+            batch_axis=batch_axis, compute_dtype=dtype)
+
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            rng, step_rng = jax.random.split(state.rng)
+            loss, metrics, grads = lg_fn(state.params, batch, step_rng)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1, rng), metrics
+
+        return train_step
+    if schedule != "gpipe":
+        raise ValueError(f"Unknown pipeline schedule: {schedule!r}")
     loss_fn = make_pp_loss_fn(config, mesh, num_micro, stage_axis=stage_axis,
                               batch_axis=batch_axis, compute_dtype=dtype)
 

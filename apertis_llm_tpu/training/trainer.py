@@ -76,6 +76,7 @@ class ApertisTrainer:
         profile_steps: Tuple[int, int] = (10, 15),
         pipeline_stages: int = 0,
         pipeline_microbatches: int = 0,
+        pipeline_schedule: str = "gpipe",
     ):
         self.config = config.replace(remat=use_gradient_checkpointing)
         self.train_dataset = train_dataset
@@ -106,6 +107,7 @@ class ApertisTrainer:
         # axis (layer depth sharded instead of widths; training/pp_step.py).
         devices = jax.devices()
         self.pipeline_stages = max(0, int(pipeline_stages))
+        self.pipeline_schedule = pipeline_schedule or "gpipe"
         if self.pipeline_stages > 1:
             if mesh_shape is None:
                 if len(devices) % self.pipeline_stages:
@@ -197,7 +199,8 @@ class ApertisTrainer:
                     f"batch_size {batch_size} must divide by microbatches x "
                     f"data parallel = {num_micro * data_par}")
             train_step = make_pp_train_step(
-                self.config, self.tx, self.mesh, num_micro, self.compute_dtype)
+                self.config, self.tx, self.mesh, num_micro, self.compute_dtype,
+                schedule=self.pipeline_schedule)
             eval_step = make_pp_eval_step(
                 self.config, self.mesh, num_micro, self.compute_dtype)
         else:
