@@ -134,11 +134,21 @@ def main():
         bench_training()
         return
     preset = os.environ.get("APERTIS_BENCH_PRESET", "1.5B")
-    quant = os.environ.get("APERTIS_BENCH_QUANT", "")
+    # int8 is the default serving mode for the headline bench: it beats bf16
+    # by 1.22x at b256 (65.9k vs 54.1k tok/s, quiet-host medians) with equal
+    # device-staged TTFT, and greedy-token parity with bf16 is pinned by
+    # tests (test_quantize.py, test_interface.py). Set APERTIS_BENCH_QUANT=
+    # bf16 to measure the unquantized path.
+    quant = os.environ.get("APERTIS_BENCH_QUANT",
+                           "int8" if preset != "tiny" else "")
+    if quant in ("bf16", "none"):
+        quant = ""
     batch = int(os.environ.get("APERTIS_BENCH_BATCH",
                                "256" if preset != "tiny" else "4"))
     prompt_len = 32
-    n_short, n_long = 16, (400 if preset != "tiny" else 80)
+    # Long runs are sized so the short/long delta (the decode signal) is
+    # several times the tunnel's observed 1-2 s wall-clock stall magnitude.
+    n_short, n_long = 16, (1200 if preset != "tiny" else 80)
 
     import numpy as np
     import jax
@@ -197,6 +207,14 @@ def main():
     steps = n_long - n_short
     shorts = sorted(run(n_short, 100 + 2 * i) for i in range(samples))
     longs = sorted(run(n_long, 101 + 2 * i) for i in range(samples))
+    # Adaptive top-up: if the per-sample spread is stall-dominated, take a
+    # few more pairs so the medians settle.
+    if (samples >= 4 and preset != "tiny"
+            and (longs[-1] - longs[0]) > 0.3 * longs[samples // 2]):
+        log("note: high spread; collecting 4 extra sample pairs")
+        shorts = sorted(shorts + [run(n_short, 200 + 2 * i) for i in range(4)])
+        longs = sorted(longs + [run(n_long, 201 + 2 * i) for i in range(4)])
+        samples += 4
     t_short, t_long = shorts[samples // 2], longs[samples // 2]
     delta = t_long - t_short
     if delta > 0.2 * t_long:
