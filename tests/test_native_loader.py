@@ -77,9 +77,15 @@ def test_native_throughput(tmp_path):
     path = tmp_path / "big.jsonl"
     path.write_text("\n".join(json.dumps({"text": text}) for _ in range(n)))
 
-    t0 = time.perf_counter()
-    ds = ApertisPretrainDataset(str(path), VOCAB, 9, max_length=128)
-    native_time = time.perf_counter() - t0
+    # Best of two constructions: the first pays .so load + cold file cache,
+    # and both can be slowed arbitrarily by a loaded host (the full suite
+    # runs threads on every core) — the comparison below wants the
+    # steady-state rate.
+    native_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = ApertisPretrainDataset(str(path), VOCAB, 9, max_length=128)
+        native_time = min(native_time, time.perf_counter() - t0)
     assert ds._native_arrays is not None
 
     t0 = time.perf_counter()
