@@ -70,32 +70,60 @@ def compute_perplexity(
     config: ApertisConfig,
     token_rows: Iterable[Sequence[int]],
     batch_size: int = 8,
+    window: int = _BUCKETS[-1],
+    overlap: int = 256,
 ) -> Dict[str, float]:
-    """Perplexity over pre-tokenised rows."""
+    """Perplexity over pre-tokenised rows.
+
+    Rows longer than ``window`` are scored with a sliding window: each
+    subsequent window re-reads ``overlap`` tokens of context but only the
+    tokens after the overlap contribute to the NLL, so every token of a
+    long document is scored exactly once (standard strided evaluation —
+    no silent truncation)."""
     nll_fn = _token_nll_fn(config)
     total_nll, total_tokens = 0.0, 0
     batch: List[List[int]] = []
+    score_from: List[int] = []
 
-    def flush(batch):
+    def flush(batch, score_from):
         nonlocal total_nll, total_tokens
         if not batch:
             return
         while len(batch) < batch_size:
-            batch.append(batch[-1][:2])  # pad rows contribute ~nothing
+            # Filler rows square up the batch shape; an out-of-range
+            # score-from offset keeps them out of the NLL entirely.
+            batch.append(batch[-1][:2])
+            score_from.append(1 << 30)
         ids, mask = _pad_batch(batch, config.pad_token_id)
         nll, valid = nll_fn(params, jnp.asarray(ids), jnp.asarray(mask))
-        total_nll += float(jnp.sum(nll * valid))
-        total_tokens += int(jnp.sum(valid))
+        # Position p of `nll` scores token p+1; honour each row's
+        # score-from offset so overlap context isn't double-counted.
+        pos = np.arange(ids.shape[1] - 1)[None, :] + 1
+        scoring = (pos >= np.asarray(score_from)[:, None]).astype(np.float32)
+        v = np.asarray(valid) * scoring
+        total_nll += float(np.sum(np.asarray(nll) * v))
+        total_tokens += int(np.sum(v))
+
+    def push(row, start):
+        nonlocal batch, score_from
+        batch.append(row)
+        score_from.append(start)
+        if len(batch) == batch_size:
+            flush(batch, score_from)
+            batch, score_from = [], []
 
     for row in token_rows:
         row = list(row)
         if len(row) < 2:
             continue
-        batch.append(row)
-        if len(batch) == batch_size:
-            flush(batch)
-            batch = []
-    flush(batch)
+        if len(row) <= window:
+            push(row, 0)
+        else:
+            stride = window - overlap
+            push(row[:window], 0)
+            for s in range(stride, len(row) - overlap, stride):
+                push(row[s:s + window], overlap)
+    flush(batch, score_from)
     if total_tokens == 0:
         return {"perplexity": float("nan"), "tokens": 0}
     mean_nll = total_nll / total_tokens

@@ -102,3 +102,33 @@ def test_run_eval_cli_surface(tmp_path):
 
     main(["eval", "--model-path", str(tmp_path / "model"),
           "--data", str(data), "--task", "perplexity", "--batch-size", "2"])
+
+
+def test_perplexity_sliding_window_long_rows():
+    """Rows longer than the window are scored by sliding windows: every
+    token scored exactly once (no silent truncation), with `overlap`
+    re-read context tokens per window."""
+    import jax
+
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.evaluation.harness import compute_perplexity
+    from apertis_llm_tpu.models.params import init_params
+
+    config = ApertisConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           attention_type="selective_ssm", ssm_d_state=4,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    row = list(np.random.default_rng(0).integers(4, 64, 150))
+
+    full = compute_perplexity(params, config, [row], batch_size=2,
+                              window=256, overlap=16)
+    windowed = compute_perplexity(params, config, [row], batch_size=2,
+                                  window=64, overlap=16)
+    # Every token scored exactly once either way.
+    assert full["tokens"] == windowed["tokens"] == len(row) - 1
+    assert np.isfinite(windowed["perplexity"])
+    # Windowing truncates context, so NLL can only be mildly worse.
+    assert windowed["nll_per_token"] >= full["nll_per_token"] - 1e-3
+    assert windowed["perplexity"] < full["perplexity"] * 1.5
