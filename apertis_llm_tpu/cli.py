@@ -30,6 +30,8 @@ def chat_command(args) -> None:
         web=args.web,
         port=args.port,
         quantize=args.quantize,
+        mesh_shape=([int(x) for x in args.mesh_shape.split(",")]
+                    if args.mesh_shape else None),
     )
     if args.web:
         return
@@ -188,6 +190,10 @@ def build_parser() -> argparse.ArgumentParser:
     chat.add_argument("--quantize", type=str, choices=["int8"],
                       help="weight-only int8 serving (vision subtree and "
                            "routers stay full precision)")
+    chat.add_argument("--mesh-shape", type=str,
+                      help="multi-chip serving mesh, e.g. '1,4,1' = "
+                           "(data, model/TP, expert); must multiply to "
+                           "<= device count")
     chat.add_argument("--web", action="store_true")
     chat.add_argument("--port", type=int, default=7860)
     chat.add_argument("--share", action="store_true")

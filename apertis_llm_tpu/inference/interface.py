@@ -43,10 +43,12 @@ class ApertisInterface:
         port: int = 7860,
         dtype: Optional[str] = None,
         quantize: Optional[str] = None,
+        mesh_shape: Optional[List[int]] = None,
     ):
         if quantize not in (None, "", "int8"):
             raise ValueError(f"Unsupported quantize mode: {quantize!r} "
                              "(expected 'int8')")
+        self.mesh_shape = list(mesh_shape) if mesh_shape else None
         self.model_path_arg = model_path
         self.vocab_file_fallback_arg = vocab_file
         self.multimodal = multimodal
@@ -147,6 +149,23 @@ class ApertisInterface:
 
                 params = quantize_params(params)
                 logger.info("Quantized serving weights to int8")
+            if self.mesh_shape:
+                # Multi-chip serving: shard the weight tree (TP heads/FFN/
+                # SSM channels on `model`, experts on `expert`) and let
+                # GSPMD propagate through the compiled generate programs.
+                import jax
+
+                from apertis_llm_tpu.parallel.mesh import create_mesh
+                from apertis_llm_tpu.parallel.sharding import shard_params
+
+                import math
+
+                n_dev = math.prod(self.mesh_shape)
+                mesh = create_mesh(jax.devices()[:n_dev],
+                                   tuple(self.mesh_shape))
+                params = shard_params(params, mesh)
+                logger.info("Serving params sharded over mesh %s",
+                            dict(mesh.shape))
             self.params = params
             self.engine = InferenceEngine(config, params, dtype=self.dtype)
             self.actual_model_path_loaded = str(model_path)

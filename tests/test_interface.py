@@ -144,3 +144,36 @@ def test_interface_int8_quantized_serving(tmp_path):
 
     with pytest.raises(ValueError):
         ApertisInterface(quantize="int4", **kw)
+
+
+def test_interface_mesh_sharded_serving(tmp_path):
+    """`mesh_shape` (CLI: chat --mesh-shape 1,2,1) serves with TP-sharded
+    weights; greedy reply matches single-device serving, composing with
+    int8 quantization."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.inference.interface import ApertisInterface
+    from apertis_llm_tpu.models.convert import save_torch_checkpoint
+    from apertis_llm_tpu.models.params import init_params
+
+    config = ApertisConfig(vocab_size=32, hidden_size=256,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=512,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    save_torch_checkpoint(params, config, tmp_path, filename="model.pt")
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3,
+             "hello": 4, "world": 5, "the": 6, "cat": 7}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+
+    kw = dict(model_path=str(tmp_path),
+              vocab_file=str(tmp_path / "vocab.json"))
+    ref = ApertisInterface(**kw).chat("hello the cat", max_length=5,
+                                      temperature=0.0)
+    sharded = ApertisInterface(mesh_shape=[1, 2, 1], **kw)
+    assert sharded.chat("hello the cat", max_length=5, temperature=0.0) == ref
+    sharded.reset_chat()
+
+    both = ApertisInterface(mesh_shape=[1, 2, 1], quantize="int8", **kw)
+    assert both.chat("hello the cat", max_length=5, temperature=0.0) == ref
