@@ -145,6 +145,8 @@ def eval_command(args) -> None:
         batch_size=args.batch_size,
         max_items=args.max_items,
         prompt_template=args.prompt_template,
+        window=args.window,
+        overlap=args.overlap,
     )
     print(json.dumps(result, indent=2))
 
@@ -245,6 +247,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default="Question: {question}\nAnswer:",
                     help="multiple_choice prompt; '{question}' scores the "
                          "question text verbatim")
+    ev.add_argument("--window", type=int, default=2048,
+                    help="perplexity: max scored window; longer documents "
+                         "slide with `--overlap` context tokens re-read")
+    ev.add_argument("--overlap", type=int, default=256)
 
     cfg = sub.add_parser("create-config", help="Create a sample training configuration")
     cfg.add_argument("--output", type=str, default="config.json")

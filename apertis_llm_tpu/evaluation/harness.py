@@ -178,6 +178,8 @@ def run_eval(
     batch_size: int = 8,
     max_items: Optional[int] = None,
     prompt_template: str = "Question: {question}\nAnswer:",
+    window: int = _BUCKETS[-1],
+    overlap: int = 256,
 ) -> Dict[str, float]:
     """Load a checkpoint and evaluate it on a JSONL dataset."""
     from apertis_llm_tpu.inference.interface import ApertisInterface
@@ -200,7 +202,8 @@ def run_eval(
 
     if task == "perplexity":
         rows = [iface.tokenize(it.get("text", "")) for it in items]
-        result = compute_perplexity(params, config, rows, batch_size)
+        result = compute_perplexity(params, config, rows, batch_size,
+                                    window=window, overlap=overlap)
     elif task == "multiple_choice":
         result = evaluate_multiple_choice(
             params, config, items, iface.tokenize, batch_size,
