@@ -147,6 +147,9 @@ def eval_command(args) -> None:
         prompt_template=args.prompt_template,
         window=args.window,
         overlap=args.overlap,
+        quantize=args.quantize,
+        mesh_shape=([int(x) for x in args.mesh_shape.split(",")]
+                    if args.mesh_shape else None),
     )
     print(json.dumps(result, indent=2))
 
@@ -251,6 +254,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="perplexity: max scored window; longer documents "
                          "slide with `--overlap` context tokens re-read")
     ev.add_argument("--overlap", type=int, default=256)
+    ev.add_argument("--quantize", type=str, choices=["int8"],
+                    help="score with weight-only int8 weights")
+    ev.add_argument("--mesh-shape", type=str,
+                    help="TP/EP serving mesh for scoring, e.g. '1,4,1'")
 
     cfg = sub.add_parser("create-config", help="Create a sample training configuration")
     cfg.add_argument("--output", type=str, default="config.json")

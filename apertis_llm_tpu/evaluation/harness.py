@@ -180,11 +180,17 @@ def run_eval(
     prompt_template: str = "Question: {question}\nAnswer:",
     window: int = _BUCKETS[-1],
     overlap: int = 256,
+    quantize: Optional[str] = None,
+    mesh_shape: Optional[List[int]] = None,
 ) -> Dict[str, float]:
-    """Load a checkpoint and evaluate it on a JSONL dataset."""
+    """Load a checkpoint and evaluate it on a JSONL dataset.
+
+    ``quantize``/``mesh_shape`` mirror the serving knobs: int8 weights
+    and/or a TP/EP serving mesh for scoring large models quickly."""
     from apertis_llm_tpu.inference.interface import ApertisInterface
 
-    iface = ApertisInterface(model_path=model_path, vocab_file=tokenizer_path)
+    iface = ApertisInterface(model_path=model_path, vocab_file=tokenizer_path,
+                             quantize=quantize, mesh_shape=mesh_shape)
     params, config = iface.params, iface.config
 
     items = []
