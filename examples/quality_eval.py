@@ -120,7 +120,8 @@ def make_dataset(workdir: Path, seed: int = 0):
     return len(train), len(val), len(mc_items)
 
 
-def write_config(workdir: Path, epochs: int) -> Path:
+def write_config(workdir: Path, epochs: int,
+                 attention_type: str = "selective_ssm") -> Path:
     cfg = {
         "data_config": {
             "train_data_path": str(workdir / "train.jsonl"),
@@ -130,7 +131,7 @@ def write_config(workdir: Path, epochs: int) -> Path:
         },
         "model_config": {
             "target_param_count": "2M",
-            "attention_type": "selective_ssm",
+            "attention_type": attention_type,
             "ssm_d_state": 16,
             "config_overrides": {"use_rmsnorm": True, "use_swiglu": True},
         },
@@ -156,6 +157,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/apertis_quality")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--attention", default="selective_ssm",
+                    choices=["selective_ssm", "standard_mha"])
     args = ap.parse_args()
 
     import jax
@@ -166,7 +169,7 @@ def main():
     n_train, n_val, n_mc = make_dataset(workdir)
     print(f"dataset: {n_train} train / {n_val} val sentences, {n_mc} MC items")
 
-    cfg_path = write_config(workdir, args.epochs)
+    cfg_path = write_config(workdir, args.epochs, args.attention)
 
     from apertis_llm_tpu.evaluation import run_eval
     from apertis_llm_tpu.training.pipeline import train_from_config
