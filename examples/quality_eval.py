@@ -121,7 +121,8 @@ def make_dataset(workdir: Path, seed: int = 0):
 
 
 def write_config(workdir: Path, epochs: int,
-                 attention_type: str = "selective_ssm") -> Path:
+                 attention_type: str = "selective_ssm",
+                 moe: bool = False) -> Path:
     cfg = {
         "data_config": {
             "train_data_path": str(workdir / "train.jsonl"),
@@ -133,7 +134,11 @@ def write_config(workdir: Path, epochs: int,
             "target_param_count": "2M",
             "attention_type": attention_type,
             "ssm_d_state": 16,
-            "config_overrides": {"use_rmsnorm": True, "use_swiglu": True},
+            "use_expert_system": moe,
+            "num_experts": 4,
+            "experts_per_token": 2,
+            "config_overrides": {"use_rmsnorm": True,
+                                 "use_swiglu": not moe},
         },
         "training_config": {
             "task_type": "pretrain",
@@ -159,6 +164,8 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--attention", default="selective_ssm",
                     choices=["selective_ssm", "standard_mha"])
+    ap.add_argument("--moe", action="store_true",
+                    help="use the mixture-of-experts FFN")
     args = ap.parse_args()
 
     import jax
@@ -169,7 +176,8 @@ def main():
     n_train, n_val, n_mc = make_dataset(workdir)
     print(f"dataset: {n_train} train / {n_val} val sentences, {n_mc} MC items")
 
-    cfg_path = write_config(workdir, args.epochs, args.attention)
+    cfg_path = write_config(workdir, args.epochs, args.attention,
+                            moe=args.moe)
 
     from apertis_llm_tpu.evaluation import run_eval
     from apertis_llm_tpu.training.pipeline import train_from_config

@@ -151,12 +151,14 @@ def test_finetune_embedding_resize():
         np.asarray(params["embed"]["tok"]))
 
 
-def test_grads_finite_with_pad_token_tails():
+@pytest.mark.parametrize("moe", [False, True])
+def test_grads_finite_with_pad_token_tails(moe):
     """Regression: zero pad-embedding rows (reference zero-inits padding_idx,
-    core.py:1051) flow through RMSNorm as exact-zero vectors; the naive
-    sqrt-of-sum-of-squares backward is infinite at 0 and NaN'd every SSM
-    training run on real padded batches. torch's x.norm() subgradient at the
-    origin is 0 — ours must match."""
+    core.py:1051) flow through the norms as exact-zero vectors. Two failure
+    modes, both fixed in ops/norms.py: (1) sqrt-of-sum-of-squares backward is
+    infinite at 0 (NaN'd every SSM training run on padded batches); (2) the
+    1/eps-scaled subgradient at degenerate rows compounds per layer through
+    MoE aux-loss cotangents and overflows fp32 within two layers."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -168,7 +170,9 @@ def test_grads_finite_with_pad_token_tails():
     config = ApertisConfig(vocab_size=64, hidden_size=64, num_hidden_layers=2,
                            num_attention_heads=4, intermediate_size=128,
                            attention_type="selective_ssm", ssm_d_state=8,
-                           use_rmsnorm=True, use_swiglu=True)
+                           use_rmsnorm=True, use_swiglu=not moe,
+                           use_expert_system=moe, num_experts=4,
+                           experts_per_token=2)
     params = init_params(jax.random.PRNGKey(0), config)
     ids = np.random.default_rng(0).integers(4, 64, (4, 16))
     ids[:, 6:] = config.pad_token_id            # trailing pad runs
