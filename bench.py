@@ -49,7 +49,9 @@ def build_model(preset: str, quant: str):
                    intermediate_size=512, vision_layers=2, vision_heads=4,
                    vision_embed_dim=128, image_size=64)
     else:
-        dims = calculate_model_dimensions("1.5B", 32000)
+        # Any "1.5B" / "6.7B"-style target works; the factory search picks
+        # the dimensions exactly like create-model does.
+        dims = calculate_model_dimensions(preset, 32000)
         cfg = dict(hidden_size=dims["hidden_size"],
                    num_hidden_layers=dims["num_hidden_layers"],
                    num_attention_heads=dims["num_attention_heads"],
