@@ -251,9 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="multiple_choice prompt; '{question}' scores the "
                          "question text verbatim")
     ev.add_argument("--window", type=int, default=2048,
-                    help="perplexity: max scored window; longer documents "
+                    help="perplexity: max scored window (cap 2048, the "
+                         "largest compiled bucket); longer documents "
                          "slide with `--overlap` context tokens re-read")
-    ev.add_argument("--overlap", type=int, default=256)
+    ev.add_argument("--overlap", type=int, default=256,
+                    help="context tokens re-read per slide; must be < window")
     ev.add_argument("--quantize", type=str, choices=["int8"],
                     help="score with weight-only int8 weights")
     ev.add_argument("--mesh-shape", type=str,

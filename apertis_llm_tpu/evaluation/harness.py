@@ -79,7 +79,19 @@ def compute_perplexity(
     subsequent window re-reads ``overlap`` tokens of context but only the
     tokens after the overlap contribute to the NLL, so every token of a
     long document is scored exactly once (standard strided evaluation —
-    no silent truncation)."""
+    no silent truncation).
+
+    ``window`` must be <= the largest compiled bucket (2048) — _pad_batch
+    slices rows to that bucket, so a larger window would silently truncate —
+    and ``overlap`` must satisfy 0 <= overlap < window."""
+    if window > _BUCKETS[-1]:
+        raise ValueError(
+            f"window={window} exceeds the largest compiled bucket "
+            f"{_BUCKETS[-1]}; rows are scored in <= {_BUCKETS[-1]}-token "
+            "windows, so a larger window would silently truncate")
+    if not 0 <= overlap < window:
+        raise ValueError(f"overlap must satisfy 0 <= overlap < window "
+                         f"(got overlap={overlap}, window={window})")
     nll_fn = _token_nll_fn(config)
     total_nll, total_tokens = 0.0, 0
     batch: List[List[int]] = []

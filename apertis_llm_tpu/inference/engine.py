@@ -51,7 +51,7 @@ def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
     """Smallest static prompt length >= n.
 
     Within the table, the usual power-of-two buckets; beyond it, round up to
-    the next multiple of the largest bucket so arbitrarily long prompts (the
+    the next multiple of half the largest bucket so arbitrarily long prompts (the
     32K context the reference advertises, docs/README.md:589) compile to a
     bounded set of shapes and are never truncated.
     """

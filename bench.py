@@ -207,15 +207,17 @@ def main():
     # median(t_long) - median(t_short) — which a stall in any single run
     # cannot move; per-pair rates are reported as the spread.
     steps = n_long - n_short
-    shorts = sorted(run(n_short, 100 + 2 * i) for i in range(samples))
-    longs = sorted(run(n_long, 101 + 2 * i) for i in range(samples))
+    shorts_raw = [run(n_short, 100 + 2 * i) for i in range(samples)]
+    longs_raw = [run(n_long, 101 + 2 * i) for i in range(samples)]
+    shorts, longs = sorted(shorts_raw), sorted(longs_raw)
     # Adaptive top-up: if the per-sample spread is stall-dominated, take a
     # few more pairs so the medians settle.
     if (samples >= 4 and preset != "tiny"
             and (longs[-1] - longs[0]) > 0.3 * longs[samples // 2]):
         log("note: high spread; collecting 4 extra sample pairs")
-        shorts = sorted(shorts + [run(n_short, 200 + 2 * i) for i in range(4)])
-        longs = sorted(longs + [run(n_long, 201 + 2 * i) for i in range(4)])
+        shorts_raw += [run(n_short, 200 + 2 * i) for i in range(4)]
+        longs_raw += [run(n_long, 201 + 2 * i) for i in range(4)]
+        shorts, longs = sorted(shorts_raw), sorted(longs_raw)
         samples += 4
     t_short, t_long = shorts[samples // 2], longs[samples // 2]
     delta = t_long - t_short
@@ -227,8 +229,9 @@ def main():
         decode_tps = batch * n_long / t_long
         per_step_ms = t_long / n_long * 1e3
         log("note: short/long delta within noise; end-to-end rate used")
+    # True interleaved run pairs (run order, not rank-matched order stats).
     pair_rates = sorted(batch * steps / (tl - ts)
-                        for ts, tl in zip(shorts, longs) if tl - ts > 0)
+                        for ts, tl in zip(shorts_raw, longs_raw) if tl - ts > 0)
     spread_pct = (100.0 * (pair_rates[-1] - pair_rates[0]) / decode_tps
                   if pair_rates else 0.0)
     log(f"decode: {decode_tps:,.0f} tok/s/chip (median-of-{samples} deltas; "

@@ -280,7 +280,6 @@ def test_pp_1f1b_loss_and_grads_match_single_program(variant):
 
     assert abs(float(single_loss) - float(loss)) < 1e-4, variant
     ref_leaves = jax.tree_util.tree_leaves_with_path(gref)
-    got = dict(jax.tree_util.tree_leaves_with_path(grads))
     got = {jax.tree_util.keystr(p): v
            for p, v in jax.tree_util.tree_leaves_with_path(grads)}
     for path, r in ref_leaves:
