@@ -99,6 +99,12 @@ class ApertisConfig:
     # Expert-parallel all-to-all dispatch bucket headroom (ops/moe_ep.py);
     # >= n_expert_devices makes the dispatch drop-free (exact vs moe_ragged).
     ep_capacity_factor: float = 2.0
+    # Below this many tokens the MoE runs every expert densely instead of
+    # sort-based ragged dispatch: at decode batch sizes every expert's
+    # weights are read from HBM anyway, so the dense path costs the same
+    # memory time while skipping the per-layer argsort/scatter/gather (the
+    # crossover to compute-bound is ~peak_flops/HBM_bw ≈ 256 rows/expert).
+    moe_dense_threshold_tokens: int = 256
 
     def __post_init__(self) -> None:
         if self.attention_type == "selective_linear":

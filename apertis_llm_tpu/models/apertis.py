@@ -391,8 +391,11 @@ def _ffn(
             out = moe_ops.moe_dispatch(
                 flat, routing, lp["experts"], config.hidden_act, eps,
                 capacity=capacity, active_mask=active)
-        elif s <= config.num_experts:
-            # Tiny token counts (decode): dense combine avoids sort overhead.
+        elif s <= max(config.num_experts, config.moe_dense_threshold_tokens):
+            # Small token counts (decode steps): every expert's weights come
+            # off HBM regardless of routing, so the dense all-expert combine
+            # is equally memory-bound while skipping the per-layer
+            # argsort/scatter/gather of the ragged path entirely.
             out = moe_ops.moe_dense(
                 flat, routing, lp["experts"], config.hidden_act, eps,
                 active_mask=active)

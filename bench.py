@@ -37,7 +37,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_model(preset: str, quant: str):
+def build_model(preset: str, quant: str, arch: str = "ssm"):
     import jax
 
     from apertis_llm_tpu.config import ApertisConfig
@@ -56,6 +56,9 @@ def build_model(preset: str, quant: str):
                    num_hidden_layers=dims["num_hidden_layers"],
                    num_attention_heads=dims["num_attention_heads"],
                    intermediate_size=dims["intermediate_size"])
+    if arch == "moe":
+        # The reference's AdaptiveExpertSystem FFN: top-2 of 8 experts.
+        cfg.update(use_expert_system=True, num_experts=8, experts_per_token=2)
     config = ApertisConfig(
         vocab_size=32000,
         attention_type="selective_ssm",
@@ -145,6 +148,9 @@ def main():
                            "int8" if preset != "tiny" else "")
     if quant in ("bf16", "none"):
         quant = ""
+    # APERTIS_BENCH_ARCH=moe benches the 8-expert top-2 MoE variant of the
+    # preset (the reference's AdaptiveExpertSystem flagship family).
+    arch = os.environ.get("APERTIS_BENCH_ARCH", "ssm")
     batch = int(os.environ.get("APERTIS_BENCH_BATCH",
                                "256" if preset != "tiny" else "4"))
     prompt_len = 32
@@ -158,7 +164,7 @@ def main():
 
     from apertis_llm_tpu.inference.engine import InferenceEngine
 
-    config, params = build_model(preset, quant)
+    config, params = build_model(preset, quant, arch)
     engine = InferenceEngine(config, params)
 
     def fresh_inputs(seed):
@@ -239,8 +245,9 @@ def main():
         f"spread {spread_pct:.0f}%; {per_step_ms:.2f} ms/step, batch {batch})")
 
     suffix = f"_{quant}" if quant else ""
+    arch_tag = "ssm_moe" if arch == "moe" else "ssm"
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_per_chip_{preset}_multimodal_ssm"
+        "metric": f"decode_tokens_per_sec_per_chip_{preset}_multimodal_{arch_tag}"
                   f"_b{batch}{suffix}",
         "value": round(decode_tps, 1),
         "unit": "tok/s/chip",
