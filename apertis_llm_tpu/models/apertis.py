@@ -240,9 +240,9 @@ def _mha_full(
     return out, cache, probs
 
 
-def _ssm_compute_params(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
-    """Shared SSM parameterisation: x_act (..., d_inner) ->
-    (a_bar, b_term, c_mod) each (..., H, N) with delta in float32."""
+def _ssm_delta_bc(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
+    """SSM parameterisation front-end: x_act (..., d_inner) ->
+    (delta (..., H) float32, a_cont (H, N) float32, b, c (..., H, N))."""
     heads, d_state = config.num_attention_heads, config.ssm_d_state
     dt_rank = config.ssm_dt_rank
     raw = _linear(lp["x_param_proj"], x_act)
@@ -251,9 +251,16 @@ def _ssm_compute_params(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
     c_raw = raw[..., dt_rank + heads * d_state:]
     delta = jax.nn.softplus(_linear(lp["dt_proj"], dt_feats).astype(jnp.float32))
     a_cont = -jnp.exp(lp["A_log"].astype(jnp.float32))              # (H, N)
-    a_bar = jnp.exp(delta[..., None] * a_cont)                       # (..., H, N)
     shape = x_act.shape[:-1] + (heads, d_state)
-    return a_bar, b_raw.reshape(shape), c_raw.reshape(shape)
+    return delta, a_cont, b_raw.reshape(shape), c_raw.reshape(shape)
+
+
+def _ssm_compute_params(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
+    """Shared SSM parameterisation: x_act (..., d_inner) ->
+    (a_bar, b_term, c_mod) each (..., H, N) with delta in float32."""
+    delta, a_cont, b, c = _ssm_delta_bc(lp, config, x_act)
+    a_bar = jnp.exp(delta[..., None] * a_cont)                       # (..., H, N)
+    return a_bar, b, c
 
 
 def _ssm_full(
@@ -283,15 +290,6 @@ def _ssm_full(
     x_conv = ssm_ops.depthwise_causal_conv(x_proj, lp["conv"]["w"], lp["conv"]["b"])
     x_act = silu(x_conv)
 
-    a_bar, b_term, c_mod = _ssm_compute_params(lp, config, x_act)  # (B, L, H, N)
-    a_bar = a_bar.transpose(0, 2, 1, 3)                   # (B, H, L, N)
-    b_term = b_term.transpose(0, 2, 1, 3).astype(a_bar.dtype)
-    c_mod = c_mod.transpose(0, 2, 1, 3)
-    if seq_mask is not None:
-        m = seq_mask[:, None, :, None].astype(a_bar.dtype)
-        a_bar = a_bar * m + (1.0 - m)   # identity transition on pads
-        b_term = b_term * m
-
     sp = _sp_ctx()
     if sp is not None and l % sp.mesh.shape[sp.sp_axis] == 0:
         # Sequence parallelism: shard L over the seq axis; cross-chunk
@@ -299,12 +297,24 @@ def _ssm_full(
         from apertis_llm_tpu.parallel.sequence import (
             ssm_scan_sequence_parallel)
 
+        a_bar, b_term, c_mod = _ssm_compute_params(lp, config, x_act)
+        a_bar = a_bar.transpose(0, 2, 1, 3)               # (B, H, L, N)
+        b_term = b_term.transpose(0, 2, 1, 3).astype(a_bar.dtype)
+        c_mod = c_mod.transpose(0, 2, 1, 3)
+        if seq_mask is not None:
+            m = seq_mask[:, None, :, None].astype(a_bar.dtype)
+            a_bar = a_bar * m + (1.0 - m)   # identity transition on pads
+            b_term = b_term * m
         h, h_last = ssm_scan_sequence_parallel(
             a_bar, b_term, sp.mesh, sp.sp_axis, batch_axis=sp.batch_axis)
+        y = (c_mod.astype(h.dtype) * h).astype(x.dtype)   # (B, H, L, N)
+        y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
+        h_last_f32 = h_last.astype(jnp.float32)
     else:
-        h, h_last = ssm_ops.selective_scan(a_bar, b_term)
-    y = (c_mod.astype(h.dtype) * h).astype(x.dtype)       # (B, H, L, N)
-    y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
+        delta, a_cont, b_nat, c_nat = _ssm_delta_bc(lp, config, x_act)
+        y, h_last_f32 = ssm_ops.ssm_mix(
+            delta, a_cont, b_nat, c_nat, seq_mask=seq_mask,
+            out_dtype=x.dtype)                            # (B, L, d_inner)
     y = y + lp["D"] * x_act
     out = _linear(lp["out_proj"], y * silu(z))
 
@@ -322,7 +332,7 @@ def _ssm_full(
             # [len-K+1, len-1] — the window ending at the last real token.
             idx = seq_lens[:, None] + jnp.arange(k - 1)[None, :]   # (B, K-1)
             conv_state = jnp.take_along_axis(pad, idx[:, :, None], axis=1)
-        cache = {"conv": conv_state, "ssm": h_last.astype(jnp.float32)}
+        cache = {"conv": conv_state, "ssm": h_last_f32}
     return out, cache
 
 

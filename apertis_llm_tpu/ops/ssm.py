@@ -78,6 +78,65 @@ def selective_scan(
     return h.astype(dtype), h[:, :, -1, :].astype(dtype)
 
 
+def ssm_mix(
+    delta: jnp.ndarray,     # (B, L, H) float32 softplus'd timescales
+    a_cont: jnp.ndarray,    # (H, N) float32 continuous-time A (negative)
+    b_term: jnp.ndarray,    # (B, L, H, N) recurrence inputs
+    c_mod: jnp.ndarray,     # (B, L, H, N) output gates
+    seq_mask: Optional[jnp.ndarray] = None,  # (B, L) 1 = real token
+    out_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused selective mixer: ``y = C * scan(exp(delta*A), B)``.
+
+    The full-sequence SSM hot path (prefill + training). Returns
+    ``(y, h_last)`` with ``y`` of shape (B, L, H*N) in ``out_dtype``
+    (default ``b_term.dtype``) and ``h_last`` (B, H, N) float32.
+
+    Masked (padded) steps become identity transitions (a=1, b=0) so
+    ``h_last`` equals the state after the last real token.
+
+    TPU path: the small (B, L, H) delta is transposed to time-minor order
+    and ``exp(delta*A)`` broadcasts DIRECTLY into the kernel's (rows, time)
+    layout, the gate multiply is fused into the scan kernel, and y comes
+    back through a single bf16 transpose — none of the round-2 path's
+    (B,L,H,N)<->(B,H,L,N) fp32 relayouts of the big operands remain
+    (reference recurrence: src/model/core.py:324-353).
+    """
+    b, l, h, n = b_term.shape
+    out_dtype = jnp.dtype(out_dtype or b_term.dtype)
+    if _use_pallas():
+        from apertis_llm_tpu.ops.pallas.ssm_scan import gated_scan_2d
+
+        delta_t = delta.astype(jnp.float32).transpose(0, 2, 1)  # (B, H, L)
+        if seq_mask is not None:
+            mt = seq_mask[:, None, :].astype(jnp.float32)       # (B, 1, L)
+            delta_t = delta_t * mt  # exp(0 * A) = 1: identity transition
+        # (B, H, 1, L) * (1, H, N, 1) -> (B, H, N, L), already time-minor.
+        a2 = jnp.exp(delta_t[:, :, None, :]
+                     * a_cont.astype(jnp.float32)[None, :, :, None])
+        a2 = a2.reshape(b * h * n, l)
+        b_nat = b_term
+        if seq_mask is not None:
+            b_nat = b_nat * seq_mask[:, :, None, None].astype(b_nat.dtype)
+        b2 = b_nat.reshape(b, l, h * n).transpose(0, 2, 1).reshape(b * h * n, l)
+        c2 = c_mod.reshape(b, l, h * n).transpose(0, 2, 1).reshape(b * h * n, l)
+        y2, hlast = gated_scan_2d(a2, b2, c2, out_dtype)
+        y = y2.reshape(b, h * n, l).transpose(0, 2, 1)
+        return y, hlast.reshape(b, h, n)
+    # Portable XLA path: scan over axis 1 in the NATURAL layout (no
+    # transposes at all — associative_scan is layout-agnostic).
+    a_bar = jnp.exp(delta.astype(jnp.float32)[..., None]
+                    * a_cont.astype(jnp.float32))               # (B, L, H, N)
+    bb = b_term.astype(jnp.float32)
+    if seq_mask is not None:
+        m = seq_mask[:, :, None, None].astype(jnp.float32)
+        a_bar = a_bar * m + (1.0 - m)
+        bb = bb * m
+    _, hs = jax.lax.associative_scan(_combine, (a_bar, bb), axis=1)
+    y = (c_mod.astype(jnp.float32) * hs).reshape(b, l, h * n)
+    return y.astype(out_dtype), hs[:, -1]
+
+
 def selective_scan_step(
     h: jnp.ndarray,      # (B, H, N) previous state
     a_bar_t: jnp.ndarray,  # (B, H, N)

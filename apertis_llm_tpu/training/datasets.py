@@ -50,8 +50,8 @@ class ApertisPretrainDataset:
     def __init__(
         self,
         data_path: str,
-        vocab_dict: Dict[str, int],
-        model_config_vocab_size: int,
+        vocab_dict: Optional[Dict[str, int]] = None,
+        model_config_vocab_size: int = 0,
         max_length: int = 512,
         multimodal: bool = False,
         image_dir: Optional[str] = None,
@@ -60,9 +60,16 @@ class ApertisPretrainDataset:
         unk_token_id: int = 3,
         bos_token_id: int = 1,
         eos_token_id: int = 2,
+        hf_tokenizer: Any = None,
     ):
+        if vocab_dict is None and hf_tokenizer is None:
+            raise ValueError("need vocab_dict or hf_tokenizer")
         self.data = _load_jsonl(data_path, ("text",))
         self.vocab = vocab_dict
+        # TPU-repo extension: subword pre-training via an HF tokenizer
+        # (the reference pretrain path is whitespace-only). Each document
+        # is encoded without special tokens and terminated with EOS.
+        self.hf_tokenizer = hf_tokenizer
         self.model_vocab_size = model_config_vocab_size
         self.max_length = max_length
         self.multimodal = multimodal
@@ -70,8 +77,9 @@ class ApertisPretrainDataset:
         self.image_size = image_size
         self.pad_token_id = pad_token_id
         self.unk_token_id = unk_token_id
+        self.eos_token_id = eos_token_id
         self._native_arrays = None
-        if not multimodal:
+        if not multimodal and hf_tokenizer is None:
             self._try_native_pretokenize()
 
     def _try_native_pretokenize(self) -> None:
@@ -99,6 +107,11 @@ class ApertisPretrainDataset:
         return len(self.data)
 
     def _tokenize(self, text) -> List[int]:
+        if self.hf_tokenizer is not None and isinstance(text, str):
+            ids = self.hf_tokenizer.encode(text, add_special_tokens=False)
+            ids.append(self.eos_token_id)
+            return [self.unk_token_id if t >= self.model_vocab_size else t
+                    for t in ids]
         if isinstance(text, str):
             raw = text.split()
         elif isinstance(text, list):

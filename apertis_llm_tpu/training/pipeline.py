@@ -64,13 +64,19 @@ def _resolve_tokenizer(data_cfg: Dict, is_fine_tuning: bool):
     """Returns (hf_tokenizer|None, manual_vocab|None, vocab_size,
     special_ids dict, tokenizer_path)."""
     tokenizer_path = data_cfg.get("tokenizer_path")
-    use_hf = data_cfg.get("use_hf_tokenizer_for_finetune", False)
+    # `use_hf_tokenizer` works for BOTH pre-training and fine-tuning (a
+    # TPU-repo extension: the reference pretrain path is whitespace-only,
+    # reference pipeline.py:118-143); the reference's finetune-only key is
+    # still honoured.
+    use_hf = (data_cfg.get("use_hf_tokenizer", False)
+              or (is_fine_tuning
+                  and data_cfg.get("use_hf_tokenizer_for_finetune", False)))
     ids = {"pad_token_id": 0, "bos_token_id": 1, "eos_token_id": 2,
            "unk_token_id": 3}
 
-    if is_fine_tuning and use_hf:
+    if use_hf:
         if not tokenizer_path:
-            raise ValueError("HF fine-tuning requires data_config.tokenizer_path")
+            raise ValueError("HF tokenization requires data_config.tokenizer_path")
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(tokenizer_path)
@@ -78,7 +84,7 @@ def _resolve_tokenizer(data_cfg: Dict, is_fine_tuning: bool):
             val = getattr(tok, attr, None)
             if val is not None:
                 ids[attr] = val
-        return tok, None, tok.vocab_size, ids, tokenizer_path
+        return tok, None, len(tok), ids, tokenizer_path
 
     if not tokenizer_path:
         raise ValueError("data_config.tokenizer_path is required")
@@ -161,10 +167,9 @@ def train_from_config(config_path: str,
         val_ds = (ApertisFineTuneDataset(data_cfg["val_data_path"], **common)
                   if data_cfg.get("val_data_path") else None)
     else:
-        if manual_vocab is None:
-            raise ValueError("Pre-training requires a manual vocabulary")
         common = dict(
             vocab_dict=manual_vocab,
+            hf_tokenizer=hf_tok,
             model_config_vocab_size=config.vocab_size,
             max_length=max_length,
             multimodal=config.multimodal,

@@ -151,3 +151,105 @@ def test_reference_yaml_loads():
 
     cfg = DataPipelineConfig.from_yaml(str(ref_yaml))
     assert cfg.tokenize.max_seq_length > 0
+
+
+def test_spark_backend_contract_with_fake_pyspark(tmp_path, monkeypatch):
+    """Drive run_pipeline_spark end-to-end against a faithful pyspark API
+    stub (builder chain, sparkContext.parallelize/map/collect, stop) and
+    check the outputs equal the local backend's. Real-pyspark execution is
+    impossible in this environment (no network, no installs — see
+    docs/README.md); this pins the full code path and the exact API surface
+    we call, so only Spark-internal serialization remains unexercised."""
+    import sys
+    import types
+
+    calls = {"configs": [], "stopped": []}
+
+    class _FakeRDD:
+        def __init__(self, items):
+            self.items = list(items)
+
+        def map(self, fn):
+            return _FakeRDD([fn(x) for x in self.items])
+
+        def collect(self):
+            return list(self.items)
+
+    class _FakeSC:
+        def parallelize(self, items, n=None):
+            assert n is None or n >= 1
+            return _FakeRDD(items)
+
+    class _FakeSession:
+        def __init__(self):
+            self.sparkContext = _FakeSC()
+
+        def stop(self):
+            calls["stopped"].append(True)
+
+    class _Builder:
+        def appName(self, name):
+            calls["configs"].append(("appName", name))
+            return self
+
+        def master(self, m):
+            calls["configs"].append(("master", m))
+            return self
+
+        def config(self, k, v):
+            calls["configs"].append((k, v))
+            return self
+
+        def getOrCreate(self):
+            return _FakeSession()
+
+    fake_sql = types.ModuleType("pyspark.sql")
+    fake_sql.SparkSession = type("SparkSession", (), {"builder": _Builder()})
+    fake_pyspark = types.ModuleType("pyspark")
+    fake_pyspark.sql = fake_sql
+    monkeypatch.setitem(sys.modules, "pyspark", fake_pyspark)
+    monkeypatch.setitem(sys.modules, "pyspark.sql", fake_sql)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _make_warc(raw / "crawl-00.warc.gz")
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3,
+             "the": 4, "cat": 5, "dog": 6, "sat": 7, "on": 8, "mat": 9}
+    vocab_path = tmp_path / "vocab.json"
+    vocab_path.write_text(json.dumps(vocab))
+
+    from apertis_llm_tpu.data_pipeline.config import (
+        CleanConfig, DataPipelineConfig, DeduplicateConfig, TokenizeConfig)
+    from apertis_llm_tpu.data_pipeline.spark_backend import run_pipeline_spark
+
+    config = DataPipelineConfig(
+        stages=["clean", "deduplicate", "tokenize"],
+        clean=CleanConfig(input_dir=str(raw),
+                          output_dir=str(tmp_path / "clean"),
+                          min_text_length=50,
+                          fasttext_model_path="/nonexistent"),
+        deduplicate=DeduplicateConfig(input_dir=str(tmp_path / "clean"),
+                                      output_dir=str(tmp_path / "dedup"),
+                                      minhash_threshold=0.5,
+                                      num_partitions=1),
+        tokenize=TokenizeConfig(input_dir=str(tmp_path / "dedup"),
+                                output_dir=str(tmp_path / "tok"),
+                                tokenizer_path=str(vocab_path),
+                                max_seq_length=64),
+        num_workers=1,
+    )
+    results = run_pipeline_spark(config)
+
+    total, kept = results["deduplicate"]
+    assert (total, kept) == (5, 4)      # same outputs as the local backend
+    # spark tokenize collects per-file "path:count" results
+    assert sum(int(str(r).rsplit(":", 1)[1]) for r in results["tokenize"]) == 4
+    assert calls["stopped"] == [True]   # session torn down in finally
+    keys = dict(c for c in calls["configs"] if isinstance(c, tuple))
+    assert keys["spark.driver.memory"] == config.spark.driver_memory
+    assert keys["spark.executor.memory"] == config.spark.executor_memory
+
+    from apertis_llm_tpu.data_pipeline.tokenize import load_tokenized_dataset
+
+    rows = load_tokenized_dataset(str(tmp_path / "tok"))
+    assert len(rows) == 4

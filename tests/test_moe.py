@@ -118,3 +118,44 @@ def test_ragged_grads_match_dense():
     for key in gd:
         np.testing.assert_allclose(np.asarray(gd[key]), np.asarray(gr[key]),
                                    rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+def test_dense_int8_dyn_close_to_fp(monkeypatch):
+    """The int8-MXU dense path (decode hot path on TPU) stays within dynamic
+    activation-quantization error of the fp dense combine."""
+    import numpy as np
+    from apertis_llm_tpu.models.quantize import quantize_params
+
+    rng = np.random.default_rng(11)
+    s, h, i, e, k = 256, 64, 128, 4, 2
+    x = jnp.asarray(rng.normal(size=(s, h)) * 0.5, jnp.float32)
+    ep = {
+        "ln_w": jnp.asarray(rng.normal(size=(e, h)) * 0.1 + 1, jnp.float32),
+        "ln_b": jnp.asarray(rng.normal(size=(e, h)) * 0.1, jnp.float32),
+        "w1": jnp.asarray(rng.normal(size=(e, h, i)) * 0.1, jnp.float32),
+        "b1": jnp.asarray(rng.normal(size=(e, i)) * 0.1, jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(e, i, h)) * 0.1, jnp.float32),
+        "b2": jnp.asarray(rng.normal(size=(e, h)) * 0.1, jnp.float32),
+    }
+    router = {
+        "ln_w": jnp.ones((h,), jnp.float32), "ln_b": jnp.zeros((h,), jnp.float32),
+        "w": jnp.asarray(rng.normal(size=(h, e)) * 0.3, jnp.float32),
+        "b": jnp.zeros((e,), jnp.float32),
+    }
+    routing = moe_ops.route(x, router["ln_w"], router["ln_b"], router["w"],
+                            router["b"], k, layer_norm_eps=1e-5)
+    ref = moe_ops.moe_dense(x, routing, ep, "gelu", 1e-5)
+
+    epq = quantize_params({"layers": {"experts": ep}}, min_size=0)["layers"]["experts"]
+    assert "w1_q" in epq
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "dyn")
+    got = moe_ops.moe_dense(x, routing, epq, "gelu", 1e-5)
+    err = np.abs(np.asarray(got - ref)) / (np.abs(np.asarray(ref)) + 1e-2)
+    assert float(np.median(err)) < 0.02
+    assert float(np.mean(err)) < 0.05
+
+    # weight-only mode on the same quantized tree also stays close
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "weightonly")
+    wo = moe_ops.moe_dense(x, routing, epq, "gelu", 1e-5)
+    err = np.abs(np.asarray(wo - ref)) / (np.abs(np.asarray(ref)) + 1e-2)
+    assert float(np.median(err)) < 0.02

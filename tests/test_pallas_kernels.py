@@ -150,3 +150,89 @@ def test_flash_attention_non_block_multiple_lengths(l):
         np.testing.assert_allclose(
             np.asarray(gp[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4,
             err_msg=f"d{name} at L={l}")
+
+
+def test_gated_scan_2d_fwd_bwd():
+    """Fused y = c * scan(a, b): matches the composed reference, fwd + bwd,
+    including the h_last output's cotangent path."""
+    from apertis_llm_tpu.ops.pallas.ssm_scan import gated_scan_2d
+    from apertis_llm_tpu.ops.ssm import _combine
+
+    rng = np.random.default_rng(3)
+    m, l = 70, 700    # non-multiples of ROW_BLK/CHUNK on purpose
+    a = jnp.asarray(rng.uniform(0.4, 0.999, (m, l)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m, l)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(m, l)), jnp.float32)
+
+    ref_h = jax.lax.associative_scan(_combine, (a, b), axis=1)[1]
+    y, hlast = gated_scan_2d(a, b, c)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(c * ref_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hlast), np.asarray(ref_h[:, -1]),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(a, b, c):
+        h = jax.lax.associative_scan(_combine, (a, b), axis=1)[1]
+        return jnp.sum(jnp.sin(c * h)) + jnp.sum(jnp.cos(h[:, -1]))
+
+    def loss_pal(a, b, c):
+        y, hlast = gated_scan_2d(a, b, c)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(jnp.cos(hlast))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(a, b, c)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(a, b, c)
+    for i, name in enumerate("abc"):
+        np.testing.assert_allclose(
+            np.asarray(gp[i]), np.asarray(gr[i]), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_ssm_mix_pallas_matches_xla(masked):
+    """ssm_mix TPU (gated kernel) path == portable XLA path, fwd + grads +
+    masked h_last semantics."""
+    import os
+    from apertis_llm_tpu.ops import ssm as ssm_mod
+
+    rng = np.random.default_rng(7)
+    b, l, h, n = 2, 130, 3, 8
+    delta = jnp.asarray(rng.uniform(0.01, 2.0, (b, l, h)), jnp.float32)
+    a_cont = -jnp.asarray(rng.uniform(0.1, 1.5, (h, n)), jnp.float32)
+    bt = jnp.asarray(rng.normal(size=(b, l, h, n)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(b, l, h, n)), jnp.float32)
+    mask = None
+    if masked:
+        mask = jnp.asarray(
+            (np.arange(l)[None, :] < np.asarray([l, l - 37])[:, None]),
+            jnp.int32)
+
+    orig = os.environ.get("APERTIS_SSM_KERNEL")
+    try:
+        os.environ["APERTIS_SSM_KERNEL"] = "xla"
+        y_ref, hl_ref = ssm_mod.ssm_mix(delta, a_cont, bt, ct, seq_mask=mask)
+        os.environ["APERTIS_SSM_KERNEL"] = "pallas"
+        y_pal, hl_pal = ssm_mod.ssm_mix(delta, a_cont, bt, ct, seq_mask=mask)
+
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(hl_pal), np.asarray(hl_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(kind, delta, bt, ct):
+            os.environ["APERTIS_SSM_KERNEL"] = kind
+            y, hl = ssm_mod.ssm_mix(delta, a_cont, bt, ct, seq_mask=mask)
+            return jnp.sum(jnp.sin(y)) + jnp.sum(hl ** 2)
+
+        gr = jax.grad(lambda d, bb, cc: loss("xla", d, bb, cc),
+                      argnums=(0, 1, 2))(delta, bt, ct)
+        gp = jax.grad(lambda d, bb, cc: loss("pallas", d, bb, cc),
+                      argnums=(0, 1, 2))(delta, bt, ct)
+        for i, name in enumerate(["delta", "b", "c"]):
+            np.testing.assert_allclose(
+                np.asarray(gp[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} (masked={masked})")
+    finally:
+        if orig is None:
+            os.environ.pop("APERTIS_SSM_KERNEL", None)
+        else:
+            os.environ["APERTIS_SSM_KERNEL"] = orig

@@ -184,3 +184,26 @@ def test_grads_finite_with_pad_token_tails(moe):
         params, config, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+
+def test_pretrain_dataset_hf_tokenizer(tmp_path):
+    """TPU-repo extension: subword pretraining rows via an HF-style
+    tokenizer — EOS-terminated, padded, out-of-range ids remapped."""
+    import json
+    from apertis_llm_tpu.training.datasets import ApertisPretrainDataset
+
+    path = tmp_path / "t.jsonl"
+    path.write_text(json.dumps({"text": "hello world"}) + "\n")
+
+    class StubTok:
+        def encode(self, text, add_special_tokens=False):
+            assert not add_special_tokens
+            return [7, 9, 999]   # 999 exceeds the model vocab
+
+    ds = ApertisPretrainDataset(
+        str(path), hf_tokenizer=StubTok(), model_config_vocab_size=100,
+        max_length=8, pad_token_id=0, unk_token_id=3, eos_token_id=2)
+    item = ds[0]
+    assert item["input_ids"].tolist() == [7, 9, 3, 2, 0, 0, 0, 0]
+    assert item["attention_mask"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+    assert item["labels"].tolist() == [7, 9, 3, 2, -100, -100, -100, -100]
