@@ -89,7 +89,13 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if mode == "dyn" or (mode == "auto" and rows >= 128):
+        # auto: dyn int8 only in the weight-bandwidth-bound band. Measured
+        # (round 3, b256 serving model H=2432): dyn wins at decode row
+        # counts (int8 halves the weight read; 72.5k vs 54k tok/s at
+        # M=256..1024) but at prefill row counts the int8 dot runs at 177
+        # TFLOP/s vs 281 for bf16-with-fused-dequant — compute-bound GEMMs
+        # want the bf16 MXU reading int8 weights, not the int8 pipeline.
+        if mode == "dyn" or (mode == "auto" and 128 <= rows <= 4096):
             from apertis_llm_tpu.ops.pallas.quant_matmul import (
                 quant_matmul_dyn_xla)
 

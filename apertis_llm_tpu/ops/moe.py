@@ -76,7 +76,7 @@ def route(
         logits = logits + jax.random.normal(noise_rng, logits.shape) * noise_scale[None, :]
 
     gates = jax.nn.softmax(logits, axis=-1)                     # (S, E)
-    top_w, top_i = jax.lax.top_k(gates, top_k)                  # (S, K)
+    top_w, top_i = _top_k_gates(gates, top_k)                   # (S, K)
 
     lb_loss = jnp.zeros((), jnp.float32)
     if training and use_load_balancing_loss and load_balancing_loss_coef > 0:
@@ -93,6 +93,26 @@ def route(
 
     weights = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-6)
     return RouterOutput(weights, top_i, lb_loss, rz_loss)
+
+
+def _top_k_gates(gates: jnp.ndarray, k: int):
+    """Top-k over the (small) expert axis.
+
+    ``lax.top_k`` lowers to a generic sort pipeline; for the k<=2 routing
+    that runs once per layer per decode step, two argmax passes over E<=64
+    gates are pure VPU work with identical tie-breaking (first index wins)
+    — measurably cheaper on the 44-layer decode chain."""
+    if k > 2 or gates.shape[-1] > 64:
+        return jax.lax.top_k(gates, k)
+    i1 = jnp.argmax(gates, axis=-1)
+    w1 = jnp.take_along_axis(gates, i1[:, None], axis=-1)[:, 0]
+    if k == 1:
+        return w1[:, None], i1[:, None].astype(jnp.int32)
+    masked = gates.at[jnp.arange(gates.shape[0]), i1].set(-jnp.inf)
+    i2 = jnp.argmax(masked, axis=-1)
+    w2 = jnp.take_along_axis(gates, i2[:, None], axis=-1)[:, 0]
+    return (jnp.stack([w1, w2], axis=-1),
+            jnp.stack([i1, i2], axis=-1).astype(jnp.int32))
 
 
 def _expert_mlp(

@@ -41,10 +41,10 @@ from apertis_llm_tpu.training.pp_step import (
 from apertis_llm_tpu.training.step import loss_fn as single_loss_fn
 
 S = 4            # pipeline stages
-B, L = 16, 256   # global batch
+B, L = 32, 128   # global batch (divisible by data_parallel * max microbatches)
 
 
-def timeit(fn, *args, n=5):
+def timeit(fn, *args, n=3):
     fn(*args)  # compile
     t0 = time.perf_counter()
     for _ in range(n):
