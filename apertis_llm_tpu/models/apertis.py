@@ -89,13 +89,15 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        # auto: dyn int8 only in the weight-bandwidth-bound band. Measured
-        # (round 3, b256 serving model H=2432): dyn wins at decode row
-        # counts (int8 halves the weight read; 72.5k vs 54k tok/s at
-        # M=256..1024) but at prefill row counts the int8 dot runs at 177
-        # TFLOP/s vs 281 for bf16-with-fused-dequant — compute-bound GEMMs
-        # want the bf16 MXU reading int8 weights, not the int8 pipeline.
-        if mode == "dyn" or (mode == "auto" and 128 <= rows <= 4096):
+        # auto: dyn from 128 rows up. Clean-chain rates at the serving
+        # model's FFN shapes (T=58k, 2432<->9728, round 3): dyn 194
+        # TFLOP/s, weight-only dequant 142, pure bf16 146 — dyn is never
+        # worse, and at decode row counts it additionally halves the
+        # weight read (72.5k vs 54k tok/s end-to-end at b256). In-context
+        # prefill TTFT measured equal (1100 vs 1110 ms) for dyn vs
+        # weight-only — the model's fusion mix runs both at ~159 TFLOP/s —
+        # so the dispatch stays the simple row threshold.
+        if mode == "dyn" or (mode == "auto" and rows >= 128):
             from apertis_llm_tpu.ops.pallas.quant_matmul import (
                 quant_matmul_dyn_xla)
 
