@@ -285,6 +285,9 @@ COMMANDS = {
 
 
 def main(argv=None) -> None:
+    from apertis_llm_tpu.utils.jax_cache import maybe_enable_cache
+
+    maybe_enable_cache()  # APERTIS_JAX_CACHE_DIR: persistent compile cache
     args = build_parser().parse_args(argv)
     COMMANDS[args.command](args)
 

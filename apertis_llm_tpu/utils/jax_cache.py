@@ -5,9 +5,9 @@ compilation (BENCH_r02: 192 s for the b256 TTFT program). JAX's persistent
 compilation cache amortises that across processes — but round 2 observed a
 TPU backend abort when a cached executable was deserialised through this
 environment's remote-compile backend (commit 66e3cb9), so the cache is
-opt-in via ``APERTIS_JAX_CACHE_DIR`` rather than default-on. Round 3
-re-validated it with back-to-back processes (see docs/README.md bring-up
-section) — set the env var to enable it.
+opt-in via ``APERTIS_JAX_CACHE_DIR`` rather than default-on. Set the env
+var to enable it; bring-up measurements live in docs/README.md's
+serving-bring-up section.
 """
 
 from __future__ import annotations

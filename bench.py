@@ -14,9 +14,12 @@ and decode rate comes from the delta between a short and a long generation
 so prefill and fixed overheads cancel.
 
 Env knobs:
-  APERTIS_BENCH_PRESET=tiny       fast smoke run (CPU-friendly)
+  APERTIS_BENCH_PRESET=tiny|1.5B|6.7B|...   model size (factory search)
+  APERTIS_BENCH_ARCH=ssm|moe      moe = top-2-of-8 AdaptiveExpertSystem
   APERTIS_BENCH_BATCH=N           decode batch (default 256)
-  APERTIS_BENCH_QUANT=int8        weight-only int8 serving mode
+  APERTIS_BENCH_QUANT=int8|bf16   serving mode (default int8)
+  APERTIS_BENCH_MODE=train        train-throughput metric instead
+  APERTIS_JAX_CACHE_DIR=/path     persistent compile cache (bring-up)
 """
 
 import json
