@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,21 @@ class PrefillOutput(NamedTuple):
 # ---------------------------------------------------------------------------
 # small helpers
 # ---------------------------------------------------------------------------
+
+def _decode_unroll(num_layers: int) -> int:
+    """Unroll factor for the decode-step layer scan.
+
+    Deep-skinny stacks (the reference's MoE presets: 40+ layers at hidden
+    ~704) are latency-bound at decode: per-iteration while-loop overhead on
+    TPU is comparable to the tiny per-layer GEMMs, so unrolling the scan
+    body amortises it and lets XLA overlap across layer boundaries. Prefill
+    keeps unroll=1 — its body is large enough that unrolling only inflates
+    compile time. ``APERTIS_DECODE_UNROLL`` overrides (int, 1 disables)."""
+    env = os.environ.get("APERTIS_DECODE_UNROLL", "").strip()
+    if env:
+        return max(1, min(int(env), num_layers))
+    return 4 if num_layers >= 32 else 1
+
 
 def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     if "scale" in p:
@@ -821,7 +837,9 @@ def decode_step(
         h = h + ffn_out
         return h, new_layer_cache
 
-    h, new_cache = jax.lax.scan(body, h, (params["layers"], cache))
+    h, new_cache = jax.lax.scan(
+        body, h, (params["layers"], cache),
+        unroll=_decode_unroll(config.num_hidden_layers))
     h = _apply_norm(params["final_norm"], h, eps)
     logits = _lm_head(params, h)[:, 0, :]
     return logits, new_cache

@@ -13,6 +13,7 @@ core = load_reference()
 requires_ref = pytest.mark.skipif(core is None, reason="reference oracle unavailable")
 
 import jax
+import jax.numpy as jnp
 
 from apertis_llm_tpu.config import ApertisConfig
 from apertis_llm_tpu.inference.engine import InferenceEngine
@@ -211,3 +212,32 @@ def test_sampled_generation_reproducible():
     c = engine.generate(prompt, rng=jax.random.PRNGKey(8), **kw)
     assert a.tolist() == b.tolist()
     assert a.shape == c.shape
+
+
+def test_decode_unroll_parity(monkeypatch):
+    """The decode-step layer-scan unroll (auto for deep-skinny stacks,
+    models/apertis.py:_decode_unroll) is a pure scheduling knob: logits and
+    caches must be bit-identical to unroll=1."""
+    from apertis_llm_tpu.models import apertis as model_lib
+    from apertis_llm_tpu.models.params import init_params
+
+    config = ApertisConfig.from_dict(dict(
+        BASE, num_hidden_layers=5, attention_type="selective_ssm",
+        ssm_d_state=8, use_expert_system=True, num_experts=4,
+        experts_per_token=2))
+    params = init_params(jax.random.PRNGKey(0), config)
+    cache = model_lib.init_cache(config, 2, max_length=32)
+    ids = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    out = model_lib.prefill(params, config, cache, ids)
+    tok = jnp.asarray([9, 10], jnp.int32)
+    t = jnp.asarray(4, jnp.int32)
+
+    monkeypatch.setenv("APERTIS_DECODE_UNROLL", "1")
+    logits1, cache1 = model_lib.decode_step(params, config, out.cache, tok, t)
+    monkeypatch.setenv("APERTIS_DECODE_UNROLL", "3")
+    logits3, cache3 = model_lib.decode_step(params, config, out.cache, tok, t)
+
+    assert jnp.array_equal(logits1, logits3)
+    for a, b in zip(jax.tree_util.tree_leaves(cache1),
+                    jax.tree_util.tree_leaves(cache3)):
+        assert jnp.array_equal(a, b)
