@@ -37,16 +37,18 @@ Params = Dict[str, Any]
 
 
 def _param_specs_for_pp(params: Params, axis: str) -> Params:
-    """Layer stacks shard depth over the stage axis; everything else is
-    replicated (TP width-sharding and PP depth-sharding of the same tensors
-    are mutually exclusive by construction)."""
+    """The decoder layer stack (top-level ``layers``) shards depth over the
+    stage axis; everything else — embeddings, lm head, and the vision tower
+    (whose own ``vision.layers`` stack is depth-stacked but runs whole on
+    every stage) — is replicated. TP width-sharding and PP depth-sharding
+    of the same tensors are mutually exclusive by construction."""
 
     def walk(tree, in_layers):
         if isinstance(tree, dict):
-            return {k: walk(v, in_layers or k == "layers") for k, v in tree.items()}
+            return {k: walk(v, in_layers) for k, v in tree.items()}
         return P(axis) if in_layers else P()
 
-    return walk(params, False)
+    return {k: walk(v, k == "layers") for k, v in params.items()}
 
 
 def shard_params_for_pipeline(params: Params, mesh: Mesh,
@@ -68,9 +70,11 @@ def make_pp_loss_fn(
 ):
     """Build loss(params, batch, rng) running the layer stack as GPipe stages.
 
-    Requirements: text-only batches (the multimodal prefix would need its own
-    stage-0 treatment), ``num_hidden_layers % stages == 0``, global batch
-    divisible by ``data_parallel * num_micro``.
+    Requirements: ``num_hidden_layers % stages == 0`` and global batch
+    divisible by ``data_parallel * num_micro``. Multimodal batches are
+    supported: the ViT prefix is assembled outside the shard_map and the
+    loss tail drops the image positions, matching the single-program
+    forward.
     """
     n_stages = mesh.shape[stage_axis]
     if config.num_hidden_layers % n_stages:
@@ -83,10 +87,6 @@ def make_pp_loss_fn(
 
     def loss_fn(params: Params, batch: Dict[str, jnp.ndarray],
                 rng: Optional[jax.Array]):
-        if "pixel_values" in batch and batch["pixel_values"] is not None:
-            raise NotImplementedError(
-                "pipeline-parallel training is text-only; use the GSPMD mesh "
-                "axes for multimodal models")
         run_params = params
         if compute_dtype is not None and compute_dtype != jnp.float32:
             run_params = jax.tree.map(
@@ -96,25 +96,33 @@ def make_pp_loss_fn(
         ids = batch["input_ids"]
         labels = batch["labels"]
         attention_mask = batch.get("attention_mask")
+        pixel_values = batch.get("pixel_values")
         b, l = ids.shape
         if b % num_micro:
             raise ValueError(f"batch {b} must divide by microbatches {num_micro}")
         mb = b // num_micro
 
-        embeds, pos_ids, attention_mask, _ = model_lib.assemble_inputs(
-            run_params, config, ids, attention_mask, None, None)
+        # Multimodal batches pipeline too: the ViT prefix is assembled OUTSIDE
+        # the shard_map (autodiff through loss_fn carries the vision grads),
+        # stages see the full image+text sequence, and the loss tail slices
+        # the image positions off before the lm_head — mirroring the
+        # single-program forward (models/apertis.py:651-655; reference:
+        # core.py:1399-1408). 1F1B stays text-only (hand-assembled vjps).
+        embeds, pos_ids, attention_mask, num_img = model_lib.assemble_inputs(
+            run_params, config, ids, attention_mask, None, pixel_values)
+        lt = embeds.shape[1]          # num_img + l
         rngs = (jax.random.split(rng, 2) if rng is not None else [None, None])
         h = model_lib._dropout(rngs[0], embeds, config.hidden_dropout_prob, True)
 
-        inp = h.reshape(num_micro, mb, l, h.shape[-1])
-        pos_mb = pos_ids.reshape(num_micro, mb, l)
+        inp = h.reshape(num_micro, mb, lt, h.shape[-1])
+        pos_mb = pos_ids.reshape(num_micro, mb, lt)
         # Labels microbatched the same way so their data-sharded slices line
         # up row-for-row with the pipeline outputs inside the shard_map.
         labels_mb = labels.reshape(num_micro, mb, l)
         bias_mb = None
         if is_mha:
-            bias = model_lib._build_bias(attention_mask, l, 0, jnp.float32)
-            bias_mb = bias.reshape(num_micro, mb, 1, l, l)
+            bias = model_lib._build_bias(attention_mask, lt, 0, jnp.float32)
+            bias_mb = bias.reshape(num_micro, mb, 1, lt, lt)
         cos_t, sin_t = model_lib._rope_tables_if_needed(config)
 
         layer_rng = rngs[1]
@@ -189,8 +197,10 @@ def make_pp_loss_fn(
             _, outputs, lb_out, rz_out = jax.lax.fori_loop(
                 0, ticks, tick, ((zeroh, zf, zf), outputs, lb_out, rz_out))
 
-            # Loss tail ON the last stage; only scalars cross devices.
-            h_all = outputs.reshape(-1, l, outputs.shape[-1])
+            # Loss tail ON the last stage; only scalars cross devices. The
+            # image prefix (if any) is dropped before the lm_head — norm is
+            # per-position so slicing first is equivalent and cheaper.
+            h_all = outputs.reshape(-1, lt, outputs.shape[-1])[:, num_img:, :]
             h_all = model_lib._apply_norm(
                 tail_params["final_norm"], h_all, config.layer_norm_eps)
             logits = model_lib._lm_head(tail_params, h_all)
@@ -288,8 +298,9 @@ def make_pp_loss_and_grads_1f1b(
            rng: Optional[jax.Array]):
         if "pixel_values" in batch and batch["pixel_values"] is not None:
             raise NotImplementedError(
-                "pipeline-parallel training is text-only; use the GSPMD mesh "
-                "axes for multimodal models")
+                "the 1f1b schedule is text-only (its backward is assembled "
+                "from per-stage vjps); use schedule='gpipe' or the GSPMD "
+                "mesh axes for multimodal models")
         run_params = params
         if compute_dtype is not None and compute_dtype != jnp.float32:
             run_params = jax.tree.map(

@@ -425,3 +425,49 @@ def test_pp_1f1b_memory_flat_in_microbatches():
     # ...1F1B's does not (allow small compiler noise), and is smaller.
     assert f16 < f4 * 1.2
     assert f16 < gp16 / 2
+
+
+def test_pp_multimodal_loss_and_grads_match_single_program():
+    """Multimodal batches pipeline under GPipe: the ViT prefix rides stage
+    activations and the loss tail drops the image positions — loss AND
+    vision-tower grads match single-program training (lifts VERDICT r2's
+    PP text-only restriction for the gpipe schedule)."""
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.pp_step import (
+        make_pp_loss_fn, shard_params_for_pipeline)
+    from apertis_llm_tpu.training.step import loss_fn
+    from jax.sharding import NamedSharding
+
+    config = _model_config(
+        attention_type="selective_ssm", ssm_d_state=8, multimodal=True,
+        image_size=32, vision_patch_size=8, vision_embed_dim=48,
+        vision_layers=2, vision_heads=4)
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(3)
+    b, l = 4, 12
+    ids = rng.integers(4, config.vocab_size, size=(b, l)).astype(np.int32)
+    pixels = rng.normal(size=(b, 3, 32, 32)).astype(np.float32)
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((b, l), jnp.int32),
+             "labels": jnp.asarray(ids),
+             "pixel_values": jnp.asarray(pixels)}
+
+    single = float(loss_fn(params, config, batch, None)[0])
+    gref = jax.grad(lambda p: loss_fn(p, config, batch, None)[0])(params)
+
+    mesh = create_mesh(jax.devices()[:4], (1, 4, 1, 1))
+    sharded = shard_params_for_pipeline(params, mesh)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    pp_loss = make_pp_loss_fn(config, mesh, num_micro=2)
+    dist = float(jax.jit(lambda p, bt: pp_loss(p, bt, None)[0])(sharded, sbatch))
+    assert abs(single - dist) < 1e-4, f"{single} vs {dist}"
+
+    gpp = jax.jit(jax.grad(lambda p, bt: pp_loss(p, bt, None)[0]))(
+        sharded, sbatch)
+    flatref = jax.tree_util.tree_leaves_with_path(gref)
+    flatpp = jax.tree_util.tree_leaves_with_path(gpp)
+    assert any("vision" in jax.tree_util.keystr(k) for k, _ in flatref)
+    for (kr, r), (_, s) in zip(flatref, flatpp):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(r), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(kr))
