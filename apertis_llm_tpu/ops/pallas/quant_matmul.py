@@ -222,3 +222,94 @@ def _bwd(res, g):
 quant_matmul.defvjp(_fwd, _bwd)
 quant_matmul_dyn.defvjp(_dyn_fwd, _bwd)
 quant_matmul_dyn_xla.defvjp(_dyn_xla_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused in-kernel activation quantization (prefill-shape path)
+# ---------------------------------------------------------------------------
+
+def _dyn_fused_kernel(x_ref, wq_ref, ws_ref, o_ref, acc_ref):
+    """Quantize the x block in VMEM right before the int8 dot.
+
+    ``quant_matmul_dyn_xla`` materialises the quantized activations through
+    HBM (read x bf16, write x_q int8, read x_q back) and its per-row scales
+    need a full-K pass before the dot can start. Here each (BM, BK) x block
+    is quantized on the VPU with a per-(row, k-block) scale — sub-channel
+    granularity, strictly finer than per-row — and fed straight to the MXU,
+    so x is read from HBM exactly once and the quantize work (~1% of the
+    block's MXU FLOPs) overlaps the grid pipeline. The f32 accumulator
+    folds each block's row scale in as it goes."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.float32)                     # (BM, BK)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (BM, 1)
+    scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    block = jax.lax.dot_general(
+        q, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[:] += block.astype(jnp.float32) * scale
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * ws_ref[0]).astype(o_ref.dtype)
+
+
+def _quant_matmul_dyn_fused_impl(x, w_q, w_s, out_dtype):
+    m, k = x.shape
+    _, n = w_q.shape
+    block_k = min(BLOCK_K, k)
+    block_n = min(BLOCK_N, n)
+    row_mult = 16 if x.dtype == jnp.bfloat16 else 8
+    block_m = min(BLOCK_M, -(-m // row_mult) * row_mult)
+    xp = _pad_axis(_pad_axis(x, 1, block_k), 0, block_m)
+    wqp = _pad_axis(_pad_axis(w_q, 0, block_k), 1, block_n)
+    wsp = _pad_axis(w_s.reshape(1, -1).astype(jnp.float32), 1, block_n)
+    mp = xp.shape[0]
+    kp, np_ = wqp.shape
+
+    out = pl.pallas_call(
+        _dyn_fused_kernel,
+        # interpret on non-TPU backends so numerics are testable on the
+        # virtual-device CPU suite (the model dispatch only selects this
+        # path on TPU anyway).
+        interpret=jax.default_backend() != "tpu",
+        grid=(mp // block_m, np_ // block_n, kp // block_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda mi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xp, wqp, wsp)
+    return out[:m, :n]
+
+
+@jax.custom_vjp
+def quant_matmul_dyn_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray):
+    """Dynamic int8 matmul with IN-KERNEL activation quantization
+    (sub-channel scales). Serving-only; backward falls back to the
+    dequantised-weight expression like the other quantized matmuls."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _quant_matmul_dyn_fused_impl(x2, w_q, w_s.reshape(-1), x.dtype)
+    return out.reshape(*lead, w_q.shape[-1])
+
+
+def _dyn_fused_fwd(x, w_q, w_s):
+    return quant_matmul_dyn_fused(x, w_q, w_s), (x, w_q, w_s)
+
+
+quant_matmul_dyn_fused.defvjp(_dyn_fused_fwd, _bwd)

@@ -227,3 +227,22 @@ def test_int8_greedy_token_parity_moe_vision():
         prompt, pixel_values=pixels, max_new_tokens=16, eos_token_id=(),
         do_sample=False)
     np.testing.assert_array_equal(np.asarray(out_bf16), np.asarray(out_int8))
+
+
+def test_dyn_fused_kernel_matches_dequant_reference():
+    """The in-kernel-quantizing Pallas matmul (sub-channel scales,
+    ops/pallas/quant_matmul.quant_matmul_dyn_fused) stays within dynamic
+    int8 rounding noise of the exact dequantised matmul, including the
+    row/K/N padding paths (interpret mode off-TPU)."""
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quant_matmul_dyn_fused
+
+    rng = np.random.default_rng(0)
+    for (m, k, n) in [(64, 256, 128), (37, 600, 300), (513, 2432, 1024)]:
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        w_q = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+        w_s = jnp.asarray(np.abs(rng.normal(size=(n,))) * 0.01, jnp.float32)
+        got = quant_matmul_dyn_fused(x, w_q, w_s).astype(jnp.float32)
+        ref = x.astype(jnp.float32) @ (w_q.astype(jnp.float32) * w_s[None, :])
+        denom = float(jnp.max(jnp.abs(ref))) + 1e-9
+        rel = float(jnp.max(jnp.abs(got - ref))) / denom
+        assert rel < 0.03, (m, k, n, rel)
