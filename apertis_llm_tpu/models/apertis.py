@@ -56,18 +56,20 @@ class PrefillOutput(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _decode_unroll(num_layers: int) -> int:
-    """Unroll factor for the decode-step layer scan.
+    """Unroll factor for the decode-step layer scan (APERTIS_DECODE_UNROLL).
 
-    Deep-skinny stacks (the reference's MoE presets: 40+ layers at hidden
-    ~704) are latency-bound at decode: per-iteration while-loop overhead on
-    TPU is comparable to the tiny per-layer GEMMs, so unrolling the scan
-    body amortises it and lets XLA overlap across layer boundaries. Prefill
-    keeps unroll=1 — its body is large enough that unrolling only inflates
-    compile time. ``APERTIS_DECODE_UNROLL`` overrides (int, 1 disables)."""
+    Default 1: unrolling was hypothesised to amortise while-loop overhead
+    for deep-skinny stacks (the MoE presets: 44 layers at hidden ~704),
+    but measured on v5e it REGRESSES decode — the 1.5B MoE at b256 went
+    12.03 ms/step with unroll=4 vs 8.28 ms/step rolled (the rolled scan
+    pipelines each layer's stacked-weight prefetch against the previous
+    body; the unrolled body defeats that overlap). The env knob remains
+    for experiments; parity is bit-exact either way
+    (test_decode_unroll_parity)."""
     env = os.environ.get("APERTIS_DECODE_UNROLL", "").strip()
     if env:
         return max(1, min(int(env), num_layers))
-    return 4 if num_layers >= 32 else 1
+    return 1
 
 
 def _apply_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
