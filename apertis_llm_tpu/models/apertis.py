@@ -102,8 +102,9 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # with dynamic activation quantization (449 vs 190 bf16 TFLOP/s at
         # M=256).
         mode = _quant_mode()
-        if not _on_tpu() and mode != "dyn":
+        if not _on_tpu() and mode not in ("dyn", "fused"):
             mode = "weightonly"          # Pallas/auto-dyn are TPU-tuned
+                                         # (fused interprets off-TPU)
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
@@ -115,7 +116,15 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # prefill TTFT measured equal (1100 vs 1110 ms) for dyn vs
         # weight-only — the model's fusion mix runs both at ~159 TFLOP/s —
         # so the dispatch stays the simple row threshold.
-        if mode == "dyn" or (mode == "auto" and rows >= 128):
+        if mode == "fused":
+            # In-kernel activation quantization (sub-channel scales):
+            # x read once from HBM, int8 MXU dot. Experimental dispatch —
+            # see ops/pallas/quant_matmul.quant_matmul_dyn_fused.
+            from apertis_llm_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_dyn_fused)
+
+            y = quant_matmul_dyn_fused(x, p["w_q"], p["w_s"])
+        elif mode == "dyn" or (mode == "auto" and rows >= 128):
             from apertis_llm_tpu.ops.pallas.quant_matmul import (
                 quant_matmul_dyn_xla)
 
