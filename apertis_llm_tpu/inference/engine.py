@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -207,6 +208,16 @@ class InferenceEngine:
             self.params = jax.tree.map(
                 lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params)
+        if (config.use_expert_system and config.num_experts > 0
+                and mesh is None
+                and os.environ.get("APERTIS_MOE_FUSED", "1") != "0"):
+            # Pre-build the two-fat-GEMM dense-decode expert stack
+            # (models/moe_fuse.py); the decode _ffn dispatches on its
+            # presence. Skipped under a serving mesh, where the EP all-to-all
+            # path owns the expert weights' sharding.
+            from apertis_llm_tpu.models.moe_fuse import attach_fused_decode_params
+
+            self.params = attach_fused_decode_params(self.params)
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):

@@ -441,9 +441,16 @@ def _ffn(
             # off HBM regardless of routing, so the dense all-expert combine
             # is equally memory-bound while skipping the per-layer
             # argsort/scatter/gather of the ragged path entirely.
-            out = moe_ops.moe_dense(
-                flat, routing, lp["experts"], config.hidden_act, eps,
-                active_mask=active)
+            if not training and "fused" in lp["experts"]:
+                # Two-fat-GEMM re-association (models/moe_fuse.py), attached
+                # by the inference engine at load time.
+                out = moe_ops.moe_dense_fused(
+                    flat, routing, lp["experts"], config.hidden_act, eps,
+                    active_mask=active)
+            else:
+                out = moe_ops.moe_dense(
+                    flat, routing, lp["experts"], config.hidden_act, eps,
+                    active_mask=active)
         else:
             out = moe_ops.moe_ragged(
                 flat, routing, lp["experts"], config.hidden_act, eps,

@@ -1,0 +1,95 @@
+"""Decode-time MoE FFN weight preparation for the fused Pallas kernel.
+
+The dense all-expert decode combine (ops/moe.moe_dense, reference behaviour:
+src/model/core.py:547-605) computes, per expert e,
+
+    y_e = act(LN_e(x) @ W1_e + b1_e) @ W2_e + b2_e
+    out = sum_e combine[s, e] * y_e[s]
+
+Measured at the 1.5B-MoE decode shapes, that path is bandwidth-bound on its
+own (E, S, I) intermediates (0.196 ms/layer vs a 0.088 ms HBM-traffic
+floor), so serving runs it through ops/pallas/moe_ffn.expert_ffn_dense — a
+single kernel that keeps the hidden block in VMEM. That kernel wants:
+
+  * ONE shared normalized-and-quantized x block for every expert. The
+    per-expert LayerNorm affine is therefore folded into W1:
+        LN_e(x) @ W1_e = xhat @ (diag(lw_e) W1_e) + (lb_e @ W1_e)
+    with xhat the un-affine layer norm, and the folded W1 re-quantized to
+    int8 per (expert, output-channel) — same scheme, same quality, as the
+    stock weight quantization (models/quantize.py).
+  * int8 W2 with per-(expert, output-channel) scales — the stock quantized
+    stack is reused as-is when present, quantized here otherwise.
+
+Built once by the inference engine (inference/engine.py) and attached under
+``params['layers']['ffn']['experts']['fused']``; consumed by
+ops/moe.moe_dense_fused on the decode hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from apertis_llm_tpu.models.quantize import quantize_weight
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _dequant(experts: Params, key: str) -> jnp.ndarray:
+    if key + "_q" in experts:
+        return (experts[key + "_q"].astype(jnp.float32)
+                * experts[key + "_s"].astype(jnp.float32))
+    return experts[key].astype(jnp.float32)
+
+
+def _fuse_one(experts: Params) -> Params:
+    """Fold one layer's (E, ...) expert stack into the kernel layout."""
+    ln_w = experts["ln_w"].astype(jnp.float32)        # (E, H)
+    ln_b = experts["ln_b"].astype(jnp.float32)        # (E, H)
+    w1 = _dequant(experts, "w1")                      # (E, H, I)
+    b1 = experts["b1"].astype(jnp.float32)            # (E, I)
+
+    w1f = ln_w[:, :, None] * w1                       # diag(lw_e) @ W1_e
+    b1f = b1 + jnp.einsum("eh,ehi->ei", ln_b, w1)     # lb_e @ W1_e + b1_e
+    q1, s1 = quantize_weight(w1f)                     # scales (E, 1, I)
+
+    if "w2_q" in experts:
+        q2 = experts["w2_q"]
+        s2 = experts["w2_s"].astype(jnp.float32)      # (E, 1, H)
+    else:
+        q2, s2 = quantize_weight(experts["w2"].astype(jnp.float32))
+    return {"w1f_q": q1, "w1f_s": s1.astype(jnp.float32), "b1f": b1f,
+            "w2f_q": q2, "w2f_s": s2}
+
+
+def fuse_moe_decode_params(experts: Params) -> Params:
+    """Build fused decode tensors from an expert stack (fp or int8-quantized),
+    with or without a leading layer-depth axis (Params convention: per-layer
+    tensors stacked on axis 0 for the lax.scan over layers)."""
+    fn = _fuse_one
+    # ln_w is (E, H) per layer; every extra leading axis is a stack dim.
+    for _ in range(experts["ln_w"].ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(experts)
+
+
+def attach_fused_decode_params(params):
+    """Return ``params`` with the fused decode stack attached (idempotent).
+
+    No-op for trees without a stacked MoE FFN. The original expert tensors
+    stay in place — prefill's ragged path and training still read them."""
+    layers = params.get("layers") if isinstance(params, dict) else None
+    ffn = layers.get("ffn") if isinstance(layers, dict) else None
+    experts = ffn.get("experts") if isinstance(ffn, dict) else None
+    if not isinstance(experts, dict) or "fused" in experts:
+        return params
+    if "w1" not in experts and "w1_q" not in experts:
+        return params
+    fused = jax.jit(fuse_moe_decode_params)(experts)
+    new_params = dict(params)
+    new_params["layers"] = dict(layers)
+    new_params["layers"]["ffn"] = dict(ffn)
+    new_params["layers"]["ffn"]["experts"] = {**experts, "fused": fused}
+    return new_params

@@ -214,11 +214,66 @@ def moe_dense(
           expert_params["w1"], expert_params["b1"],
           expert_params["w2"], expert_params["b2"])          # (E, S, H)
 
-    combine = jnp.zeros((x.shape[0], num_experts), dtype=x.dtype)
-    onehot = jax.nn.one_hot(routing.indices, num_experts, dtype=x.dtype)  # (S, K, E)
-    combine = jnp.einsum("ske,sk->se", onehot, routing.weights.astype(x.dtype)) + combine
+    combine = _combine_weights(routing, num_experts, x.dtype, active_mask)
+    return jnp.einsum("se,esh->sh", combine, all_out)
+
+
+def _combine_weights(
+    routing: RouterOutput,
+    num_experts: int,
+    dtype,
+    active_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(S, E) combine matrix: routing weight where expert selected, else 0."""
+    onehot = jax.nn.one_hot(routing.indices, num_experts, dtype=dtype)  # (S, K, E)
+    combine = jnp.einsum("ske,sk->se", onehot, routing.weights.astype(dtype))
     if active_mask is not None:
         combine = combine * active_mask.astype(combine.dtype)[None, :]
+    return combine
+
+
+def moe_dense_fused(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,       # carries the "fused" stack (models/moe_fuse.py)
+    hidden_act: str,
+    layer_norm_eps: float,
+    active_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense all-expert combine through the fused expert-FFN kernel.
+
+    Same math as :func:`moe_dense` (up to int8 rounding): the per-expert
+    LayerNorm affine is pre-folded into W1 so every expert consumes one
+    shared normalized-and-quantized x, and the whole int8 GEMM1 -> act ->
+    requantize -> int8 GEMM2 chain runs inside ONE Pallas kernel with the
+    (rows, I) hidden block pinned in VMEM (ops/pallas/moe_ffn.py) — the
+    dense path's measured bottleneck is HBM traffic on exactly that
+    intermediate. See models/moe_fuse.py for the weight preparation.
+    """
+    from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_dense
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    fused = expert_params["fused"]
+    num_experts = fused["b1f"].shape[0]
+
+    # Un-affine LayerNorm shared by every expert (affines live in W1/b1).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + layer_norm_eps), 0.0)
+    xq, xs = quantize_rows(xf - mean)
+    # Fold the normalization inverse into the per-row activation scale —
+    # quantize_rows is scale-invariant per row, so quantizing (x - mean)
+    # and multiplying the scale is exact.
+    xs = xs * inv
+
+    all_out = expert_ffn_dense(
+        xq, xs, fused["w1f_q"], fused["w1f_s"], fused["b1f"],
+        fused["w2f_q"], fused["w2f_s"],
+        expert_params["b2"].astype(jnp.float32),
+        out_dtype=x.dtype, hidden_act=hidden_act)            # (E, S, H)
+
+    combine = _combine_weights(routing, num_experts, x.dtype, active_mask)
     return jnp.einsum("se,esh->sh", combine, all_out)
 
 

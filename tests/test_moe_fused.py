@@ -1,0 +1,163 @@
+"""Fused dense-MoE decode path (models/moe_fuse.py + ops/moe.moe_dense_fused).
+
+The fused path re-associates the all-expert combine into two stacked int8
+GEMMs; its only deviation from ops/moe.moe_dense is int8 rounding, so the
+tests pin tolerance against the float dense path and exercise the engine
+attach/dispatch wiring end to end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models.moe_fuse import (
+    attach_fused_decode_params, fuse_moe_decode_params)
+from apertis_llm_tpu.models.params import init_params
+from apertis_llm_tpu.models.quantize import quantize_params
+from apertis_llm_tpu.ops import moe as moe_ops
+
+
+def _expert_stack(rng, e=4, h=64, i=128, scale_spread=False):
+    r = np.random.default_rng(rng)
+    ln_w = 1.0 + 0.1 * r.normal(size=(e, h))
+    ln_b = 0.05 * r.normal(size=(e, h))
+    w1 = 0.08 * r.normal(size=(e, h, i))
+    w2 = 0.08 * r.normal(size=(e, i, h))
+    if scale_spread:
+        # Per-expert magnitude spread exercises the sigma factor.
+        mags = np.geomspace(0.1, 10.0, e)[:, None, None]
+        w1, w2 = w1 * mags, w2 * mags
+    return {
+        "ln_w": jnp.asarray(ln_w, jnp.float32),
+        "ln_b": jnp.asarray(ln_b, jnp.float32),
+        "w1": jnp.asarray(w1, jnp.float32),
+        "b1": jnp.asarray(0.02 * r.normal(size=(e, i)), jnp.float32),
+        "w2": jnp.asarray(w2, jnp.float32),
+        "b2": jnp.asarray(0.02 * r.normal(size=(e, h)), jnp.float32),
+    }
+
+
+def _routing(rng, s, e, k=2):
+    r = np.random.default_rng(rng)
+    logits = jnp.asarray(r.normal(size=(s, e)), jnp.float32)
+    gates = jax.nn.softmax(logits, axis=-1)
+    w, i = jax.lax.top_k(gates, k)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
+    zero = jnp.zeros((), jnp.float32)
+    return moe_ops.RouterOutput(w, i.astype(jnp.int32), zero, zero)
+
+
+@pytest.mark.parametrize("spread", [False, True])
+def test_fused_matches_dense(spread):
+    e, h, i, s = 4, 64, 128, 16
+    experts = _expert_stack(0, e, h, i, scale_spread=spread)
+    routing = _routing(1, s, e)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(s, h)), jnp.float32)
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+    fused = {**experts, "fused": fuse_moe_decode_params(experts)}
+    got = moe_ops.moe_dense_fused(x, routing, fused, "gelu", 1e-12)
+
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    rel = float(jnp.max(jnp.abs(got - ref))) / denom
+    assert rel < 0.06, f"fused deviates {rel:.4f} from dense (spread={spread})"
+
+
+def test_fused_from_quantized_stack():
+    """Fusion from an already int8-quantized expert stack stays close."""
+    e, h, i, s = 4, 64, 128, 8
+    experts = _expert_stack(3, e, h, i)
+    from apertis_llm_tpu.models.quantize import quantize_weight
+    qtree = dict(experts)
+    for key in ("w1", "w2"):
+        wq, ws = quantize_weight(qtree.pop(key))
+        qtree[key + "_q"], qtree[key + "_s"] = wq, ws
+    routing = _routing(4, s, e)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(s, h)), jnp.float32)
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+    fused = {**qtree, "fused": fuse_moe_decode_params(qtree)}
+    got = moe_ops.moe_dense_fused(x, routing, fused, "gelu", 1e-12)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / denom < 0.08
+
+
+def test_fused_active_mask():
+    """Expert masking zeroes the combine exactly like the dense path."""
+    e, h, i, s = 4, 32, 64, 8
+    experts = _expert_stack(6, e, h, i)
+    routing = _routing(7, s, e)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(s, h)), jnp.float32)
+    mask = jnp.asarray([True, False, True, True])
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12,
+                            active_mask=mask)
+    fused = {**experts, "fused": fuse_moe_decode_params(experts)}
+    got = moe_ops.moe_dense_fused(x, routing, fused, "gelu", 1e-12,
+                                  active_mask=mask)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / denom < 0.06
+
+
+def _moe_config():
+    return ApertisConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        attention_type="selective_ssm", ssm_d_state=8,
+        use_expert_system=True, num_experts=4, experts_per_token=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=256)
+
+
+def test_stacked_layer_fusion_shapes():
+    cfg = _moe_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=0)
+    experts = qparams["layers"]["ffn"]["experts"]
+    fused = fuse_moe_decode_params(experts)
+    L, E, H, I = 2, 4, 64, 128
+    assert fused["w1f_q"].shape == (L, E, H, I)
+    assert fused["w1f_q"].dtype == jnp.int8
+    assert fused["w1f_s"].shape == (L, E, 1, I)
+    assert fused["b1f"].shape == (L, E, I)
+    assert fused["w2f_q"].shape == (L, E, I, H)
+    assert fused["w2f_s"].shape == (L, E, 1, H)
+
+
+def test_engine_attaches_and_generates(monkeypatch):
+    from apertis_llm_tpu.inference.engine import InferenceEngine
+
+    cfg = _moe_config()
+    params = quantize_params(init_params(jax.random.PRNGKey(0), cfg),
+                             min_size=0)
+    eng = InferenceEngine(cfg, params)
+    assert "fused" in eng.params["layers"]["ffn"]["experts"]
+
+    prompt = np.array([[5, 7, 9, 11]], np.int32)
+    out = eng.generate(prompt, max_new_tokens=4, do_sample=False)
+    assert out.shape == (1, 8)
+
+    # Kill switch: APERTIS_MOE_FUSED=0 leaves the tree untouched.
+    monkeypatch.setenv("APERTIS_MOE_FUSED", "0")
+    eng2 = InferenceEngine(cfg, params)
+    assert "fused" not in eng2.params["layers"]["ffn"]["experts"]
+
+
+def test_attach_idempotent_and_nonmoe_noop():
+    cfg = _moe_config()
+    params = quantize_params(init_params(jax.random.PRNGKey(0), cfg),
+                             min_size=0)
+    once = attach_fused_decode_params(params)
+    twice = attach_fused_decode_params(once)
+    assert once["layers"]["ffn"]["experts"]["fused"] is \
+        twice["layers"]["ffn"]["experts"]["fused"]
+
+    dense_cfg = ApertisConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        attention_type="selective_ssm", ssm_d_state=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    dense = init_params(jax.random.PRNGKey(1), dense_cfg)
+    assert attach_fused_decode_params(dense) is dense
