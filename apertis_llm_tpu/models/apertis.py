@@ -441,9 +441,15 @@ def _ffn(
             # off HBM regardless of routing, so the dense all-expert combine
             # is equally memory-bound while skipping the per-layer
             # argsort/scatter/gather of the ragged path entirely.
-            if not training and "fused" in lp["experts"]:
-                # Two-fat-GEMM re-association (models/moe_fuse.py), attached
-                # by the inference engine at load time.
+            if not training and "fat" in lp["experts"]:
+                # Combine-folded two-fat-2D-GEMM form (models/moe_fuse.py),
+                # attached by the inference engine at load time.
+                out = moe_ops.moe_dense_fat(
+                    flat, routing, lp["experts"], config.hidden_act, eps,
+                    active_mask=active)
+            elif not training and "fused" in lp["experts"]:
+                # Per-expert VMEM-resident Pallas kernel (kept selectable:
+                # measured ~equal to the XLA dense path at 1.5B shapes).
                 out = moe_ops.moe_dense_fused(
                     flat, routing, lp["experts"], config.hidden_act, eps,
                     active_mask=active)

@@ -83,6 +83,12 @@ def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -
     # order, matching Conv2d(kernel=P, stride=P) weight flattening.
     x = pixel_values.reshape(b, 3, sp, p, sp, p)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, sp * sp, 3 * p * p)
+    # Run the encoder in the weights' dtype: preprocess_images emits float32,
+    # and without this cast the promotion rules would run every ViT GEMM in
+    # f32 — measured 159 ms for the b256 encode, the f32 MXU rate, vs the
+    # bf16 rate the rest of the model runs at. Attention scores/softmax stay
+    # f32 via preferred_element_type.
+    x = x.astype(params["patch_embed"]["w"].dtype)
     x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
 
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1])).astype(x.dtype)

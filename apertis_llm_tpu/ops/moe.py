@@ -232,6 +232,58 @@ def _combine_weights(
     return combine
 
 
+def moe_dense_fat(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,       # carries the "fat" stack (models/moe_fuse.py)
+    hidden_act: str,
+    layer_norm_eps: float,
+    active_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense all-expert combine as TWO plain 2D int8 GEMMs.
+
+    sum_e combine[s,e] * (act(LN_e(x) @ W1_e + b1_e) @ W2_e + b2_e)
+    re-associates into (S,H)@(H,E*I) and (S,E*I)@(E*I,H) with the combine
+    weights folded into the hidden activations (inactive experts' entries
+    are exactly zero) and sum_e combine[s,e]*b2_e = combine @ b2 added
+    outside — no batched dots, sorts, or gathers. 2D int8 dots are the
+    fastest MXU path XLA has at decode row counts (449 TFLOP/s measured vs
+    ~83 dense-equiv for the batched form). Same math as moe_dense up to
+    int8 rounding; W2's shared-per-channel scales are the one extra
+    quantization coarsening (models/moe_fuse._fuse_one_fat)."""
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    fat = expert_params["fat"]
+    act_fn = get_activation(hidden_act)
+    num_experts = expert_params["b2"].shape[0]
+    s, h = x.shape
+    ei = fat["b1t"].shape[0]
+
+    # Shared un-affine LayerNorm (affines live in W1/b1), folded into the
+    # per-row activation scale exactly as in moe_dense_fused.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + layer_norm_eps), 0.0)
+    xq, xs = quantize_rows(xf - mean)
+    xs = xs * inv
+
+    acc1 = jax.lax.dot_general(xq, fat["w1t_q"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)  # (S, E*I)
+    hidden = act_fn(acc1.astype(jnp.float32) * xs
+                    * fat["w1t_s"].astype(jnp.float32) + fat["b1t"])
+
+    combine = _combine_weights(routing, num_experts, jnp.float32, active_mask)
+    hidden = hidden * jnp.repeat(combine, ei // num_experts, axis=1)
+
+    hq, hs = quantize_rows(hidden)
+    acc2 = jax.lax.dot_general(hq, fat["w2t_q"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)  # (S, H)
+    out = (acc2.astype(jnp.float32) * hs * fat["w2t_s"].astype(jnp.float32)
+           + combine @ expert_params["b2"].astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
 def moe_dense_fused(
     x: jnp.ndarray,            # (S, H)
     routing: RouterOutput,

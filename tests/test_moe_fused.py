@@ -101,6 +101,62 @@ def test_fused_active_mask():
     assert float(jnp.max(jnp.abs(got - ref))) / denom < 0.06
 
 
+@pytest.mark.parametrize("spread", [False, True])
+def test_fat_matches_dense(spread):
+    """Combine-folded two-fat-2D-GEMM path vs the float dense path. The
+    spread case exercises W2's shared-per-channel scales (the one extra
+    coarsening this layout carries)."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s = 4, 64, 128, 16
+    experts = _expert_stack(0, e, h, i, scale_spread=spread)
+    routing = _routing(1, s, e)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(s, h)), jnp.float32)
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+    fat = {**experts, "fat": fuse_moe_decode_params_fat(experts)}
+    got = moe_ops.moe_dense_fat(x, routing, fat, "gelu", 1e-12)
+
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    rel = float(jnp.max(jnp.abs(got - ref))) / denom
+    tol = 0.12 if spread else 0.06
+    assert rel < tol, f"fat deviates {rel:.4f} from dense (spread={spread})"
+
+
+def test_fat_active_mask():
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s = 4, 32, 64, 8
+    experts = _expert_stack(6, e, h, i)
+    routing = _routing(7, s, e)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(s, h)), jnp.float32)
+    mask = jnp.asarray([True, False, True, True])
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12,
+                            active_mask=mask)
+    fat = {**experts, "fat": fuse_moe_decode_params_fat(experts)}
+    got = moe_ops.moe_dense_fat(x, routing, fat, "gelu", 1e-12,
+                                active_mask=mask)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / denom < 0.06
+
+
+def test_fat_stacked_shapes():
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    cfg = _moe_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=0)
+    fat = fuse_moe_decode_params_fat(qparams["layers"]["ffn"]["experts"])
+    L, E, H, I = 2, 4, 64, 128
+    assert fat["w1t_q"].shape == (L, H, E * I)
+    assert fat["w1t_q"].dtype == jnp.int8
+    assert fat["w1t_s"].shape == (L, 1, E * I)
+    assert fat["b1t"].shape == (L, E * I)
+    assert fat["w2t_q"].shape == (L, E * I, H)
+    assert fat["w2t_s"].shape == (L, 1, H)
+
+
 def _moe_config():
     return ApertisConfig(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
@@ -133,7 +189,7 @@ def test_engine_attaches_and_generates(monkeypatch):
     params = quantize_params(init_params(jax.random.PRNGKey(0), cfg),
                              min_size=0)
     eng = InferenceEngine(cfg, params)
-    assert "fused" in eng.params["layers"]["ffn"]["experts"]
+    assert "fat" in eng.params["layers"]["ffn"]["experts"]
 
     prompt = np.array([[5, 7, 9, 11]], np.int32)
     out = eng.generate(prompt, max_new_tokens=4, do_sample=False)
@@ -143,6 +199,12 @@ def test_engine_attaches_and_generates(monkeypatch):
     monkeypatch.setenv("APERTIS_MOE_FUSED", "0")
     eng2 = InferenceEngine(cfg, params)
     assert "fused" not in eng2.params["layers"]["ffn"]["experts"]
+    assert "fat" not in eng2.params["layers"]["ffn"]["experts"]
+
+    # Pallas-kernel mode stays selectable.
+    monkeypatch.setenv("APERTIS_MOE_FUSED", "1")
+    eng3 = InferenceEngine(cfg, params)
+    assert "fused" in eng3.params["layers"]["ffn"]["experts"]
 
 
 def test_attach_idempotent_and_nonmoe_noop():
@@ -151,8 +213,8 @@ def test_attach_idempotent_and_nonmoe_noop():
                              min_size=0)
     once = attach_fused_decode_params(params)
     twice = attach_fused_decode_params(once)
-    assert once["layers"]["ffn"]["experts"]["fused"] is \
-        twice["layers"]["ffn"]["experts"]["fused"]
+    assert once["layers"]["ffn"]["experts"]["fat"] is \
+        twice["layers"]["ffn"]["experts"]["fat"]
 
     dense_cfg = ApertisConfig(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
