@@ -25,13 +25,17 @@ Params = Dict[str, Any]
 # 2-D "w" (stacked 3-D over layers); MoE expert stacks store 3-D "w1"/"w2"
 # (E, in, out), stacked 4-D over layers — the contraction axis is -2 in
 # every case, so per-output-channel scales come from the same reduction.
-_QUANT_KEYS = {"w": (2, 3), "w1": (3, 4), "w2": (3, 4)}
+# "in_proj_w" is the ViT attention's bare fused-QKV weight (models/vit.py).
+_QUANT_KEYS = {"w": (2, 3), "w1": (3, 4), "w2": (3, 4), "in_proj_w": (2, 3)}
 # Parent names whose weights stay high-precision.
 _SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
                  "router_ln", "dt_proj", "conv", "lm_head"}
-# Whole subtrees left untouched: the ViT runs only at prefill (not
-# decode-bandwidth-bound) and reads its weights directly.
+# Whole subtrees left untouched by default: the ViT runs only at prefill
+# (not decode-bandwidth-bound) and reads its weights directly. At large
+# serving batches prefill is compute-bound and the int8 MXU rate beats
+# bf16, so APERTIS_QUANT_VIT=1 (or quantize_vision=True) opts the ViT in.
 _SKIP_SUBTREES = {"vision", "vision_proj", "cross_modal", "encoder"}
+_VISION_SUBTREES = {"vision", "vision_proj"}
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -45,16 +49,23 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale.astype(jnp.float32)
 
 
-def quantize_params(params: Params, min_size: int = 1 << 16) -> Params:
+def quantize_params(params: Params, min_size: int = 1 << 16,
+                    quantize_vision: bool | None = None) -> Params:
     """Return a copy of the tree with eligible projection weights stored as
     ``{"w_q": int8, "w_s": float32}`` (consumed transparently by the model's
     ``_linear``). ``min_size`` skips small matrices where quantization
-    overhead outweighs the bandwidth win."""
+    overhead outweighs the bandwidth win. ``quantize_vision`` additionally
+    quantizes the ViT encoder + projection (default: ``APERTIS_QUANT_VIT``)."""
+    if quantize_vision is None:
+        import os
+
+        quantize_vision = os.environ.get("APERTIS_QUANT_VIT", "0") == "1"
 
     def walk(tree, name):
         if not isinstance(tree, dict):
             return tree
-        if name in _SKIP_SUBTREES:
+        if name in _SKIP_SUBTREES and not (
+                quantize_vision and name in _VISION_SUBTREES):
             return tree
         out = {}
         for key, value in tree.items():

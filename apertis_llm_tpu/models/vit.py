@@ -44,10 +44,23 @@ def preprocess_images(images: jnp.ndarray, image_size: int) -> jnp.ndarray:
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _qlin(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Quant-aware linear: plain ``w`` or serving-quantized ``w_q``/``w_s``
+    dicts (models/quantize.py, APERTIS_QUANT_VIT=1) through the same
+    dispatch the decoder uses."""
+    from apertis_llm_tpu.models.apertis import _linear
+
+    return _linear(lp, x)
+
+
 def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
     b, l, d = x.shape
     head_dim = d // num_heads
-    qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]          # (B, L, 3D)
+    if "in_proj_w_q" in lp:
+        qkv = _qlin({"w_q": lp["in_proj_w_q"], "w_s": lp["in_proj_w_s"],
+                     "b": lp["in_proj_b"]}, x)            # (B, L, 3D)
+    else:
+        qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]      # (B, L, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
@@ -60,7 +73,7 @@ def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                      preferred_element_type=jnp.float32).astype(v.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-    return out @ lp["attn_out"]["w"] + lp["attn_out"]["b"]
+    return _qlin(lp["attn_out"], out)
 
 
 def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
@@ -68,8 +81,8 @@ def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
     h = layer_norm(x, lp["ln1"]["w"], lp["ln1"]["b"], eps=_VIT_LN_EPS)
     x = x + _vit_attention(h, lp, num_heads)
     h = layer_norm(x, lp["ln2"]["w"], lp["ln2"]["b"], eps=_VIT_LN_EPS)
-    h = gelu(h @ lp["linear1"]["w"] + lp["linear1"]["b"])
-    h = h @ lp["linear2"]["w"] + lp["linear2"]["b"]
+    h = gelu(_qlin(lp["linear1"], h))
+    h = _qlin(lp["linear2"], h)
     return x + h
 
 
@@ -88,8 +101,8 @@ def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -
     # f32 — measured 159 ms for the b256 encode, the f32 MXU rate, vs the
     # bf16 rate the rest of the model runs at. Attention scores/softmax stay
     # f32 via preferred_element_type.
-    x = x.astype(params["patch_embed"]["w"].dtype)
-    x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
+    x = x.astype(params["cls_token"].dtype)
+    x = _qlin(params["patch_embed"], x)
 
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1])).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)

@@ -246,3 +246,43 @@ def test_dyn_fused_kernel_matches_dequant_reference():
         denom = float(jnp.max(jnp.abs(ref))) + 1e-9
         rel = float(jnp.max(jnp.abs(got - ref))) / denom
         assert rel < 0.03, (m, k, n, rel)
+
+
+def test_quantize_vision_opt_in():
+    """quantize_vision=True int8-quantizes the ViT (patch embed, fused QKV,
+    attn out, FFN) and the vision projection; encoded features stay within
+    per-channel-int8 error of the bf16 ViT and the multimodal forward runs.
+    Default (flag off) keeps the vision subtree untouched
+    (test_quantized_multimodal_forward)."""
+    from apertis_llm_tpu.models.vit import vit_encode
+
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=256, multimodal=True,
+                           image_size=32, vision_patch_size=8,
+                           vision_embed_dim=64, vision_layers=2,
+                           vision_heads=4,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024, quantize_vision=True)
+
+    vtree = qparams["vision"]
+    assert "w_q" in vtree["patch_embed"] and "w" not in vtree["patch_embed"]
+    assert "in_proj_w_q" in vtree["layers"] and "in_proj_w" not in vtree["layers"]
+    for lin in ("attn_out", "linear1", "linear2"):
+        assert "w_q" in vtree["layers"][lin], lin
+    if "vision_proj" in qparams:
+        assert "w_q" in qparams["vision_proj"]
+
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32)
+    ref = np.asarray(vit_encode(params["vision"], config, pixels),
+                     np.float32)
+    got = np.asarray(vit_encode(vtree, config, pixels), np.float32)
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 0.05, rel
+
+    ids = jnp.asarray([[1, 5, 9], [2, 6, 10]])
+    out = model_lib.forward(qparams, config, ids, pixel_values=pixels)
+    assert np.isfinite(np.asarray(out.logits)).all()
