@@ -208,19 +208,23 @@ class InferenceEngine:
             self.params = jax.tree.map(
                 lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params)
-        moe_mode = os.environ.get("APERTIS_MOE_FUSED", "fat")
+        moe_mode = os.environ.get("APERTIS_MOE_FUSED", "fatk")
         if (config.use_expert_system and config.num_experts > 0
                 and mesh is None and moe_mode != "0"):
             # Pre-build a fused dense-decode expert stack (models/moe_fuse.py);
-            # the decode _ffn dispatches on its presence. "fat" (default) =
-            # combine-folded two-fat-2D-GEMM form; "1"/"kernel" = per-expert
-            # Pallas kernel (measured ~equal to plain XLA dense at 1.5B
-            # shapes); "0" = plain XLA dense. Skipped under a serving mesh,
-            # where the EP all-to-all path owns the expert weights' sharding.
+            # the decode _ffn dispatches on its presence. "fatk" (default) =
+            # combine-folded fat layout through the fused Pallas kernel
+            # (ops/pallas/moe_ffn.expert_ffn_fat — hidden tile stays in
+            # VMEM); "fat" = same layout, plain-XLA GEMMs (hidden round-trips
+            # HBM: measured 10.5 vs 8.3 ms/step at 1.5B b256); "1"/"kernel" =
+            # per-expert Pallas kernel (~equal to plain XLA dense); "0" =
+            # plain XLA dense. Skipped under a serving mesh, where the EP
+            # all-to-all path owns the expert weights' sharding.
             from apertis_llm_tpu.models.moe_fuse import attach_fused_decode_params
 
             self.params = attach_fused_decode_params(
-                self.params, mode="fat" if moe_mode == "fat" else "kernel")
+                self.params,
+                mode="fat" if moe_mode in ("fat", "fatk") else "kernel")
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):

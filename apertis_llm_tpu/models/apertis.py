@@ -382,6 +382,8 @@ def _ffn(
     *,
     training: bool,
     rng: Optional[jax.Array],
+    fat_stack: Optional[Params] = None,  # layer-stacked MoE fat tensors
+    layer_idx=None,                      # int32 index into fat_stack
 ):
     eps = config.layer_norm_eps
     zero = jnp.zeros((), jnp.float32)
@@ -441,12 +443,26 @@ def _ffn(
             # off HBM regardless of routing, so the dense all-expert combine
             # is equally memory-bound while skipping the per-layer
             # argsort/scatter/gather of the ragged path entirely.
-            if not training and "fat" in lp["experts"]:
+            if not training and (fat_stack is not None
+                                 or "fat" in lp["experts"]):
                 # Combine-folded two-fat-2D-GEMM form (models/moe_fuse.py),
-                # attached by the inference engine at load time.
-                out = moe_ops.moe_dense_fat(
-                    flat, routing, lp["experts"], config.hidden_act, eps,
-                    active_mask=active)
+                # attached by the inference engine at load time. Default on
+                # TPU is the fused Pallas kernel (hidden tile never leaves
+                # VMEM); APERTIS_MOE_FUSED=fat selects the plain-XLA fat
+                # GEMMs (same weights, hidden activations round-trip HBM),
+                # which is also the off-TPU default (the kernel would run
+                # in interpret mode there — covered by direct tests).
+                mode = os.environ.get("APERTIS_MOE_FUSED", "fatk")
+                if (mode == "fat" or (mode == "fatk" and not _on_tpu())) \
+                        and "fat" in lp["experts"]:
+                    out = moe_ops.moe_dense_fat(
+                        flat, routing, lp["experts"], config.hidden_act, eps,
+                        active_mask=active)
+                else:
+                    out = moe_ops.moe_dense_fat_kernel(
+                        flat, routing, lp["experts"], config.hidden_act, eps,
+                        active_mask=active, fat_stack=fat_stack,
+                        layer_idx=layer_idx)
             elif not training and "fused" in lp["experts"]:
                 # Per-expert VMEM-resident Pallas kernel (kept selectable:
                 # measured ~equal to the XLA dense path at 1.5B shapes).
@@ -844,8 +860,25 @@ def decode_step(
         else:
             valid = attn_mask_row > 0
 
+    # Hoist the layer-stacked MoE fat tensors OUT of the scanned tree when
+    # the fused fat kernel will consume them: scan would dynamic-slice them
+    # per layer, and XLA materialises a full copy of both expert matrices
+    # for every pallas operand (~47 us/layer profiled at 1.5B shapes). The
+    # kernel instead scalar-prefetches the layer index into the full stack.
+    layers = params["layers"]
+    fat_stack = None
+    experts = layers.get("ffn", {}).get("experts", {}) if isinstance(
+        layers.get("ffn"), dict) else {}
+    if ("fat" in experts and _on_tpu()
+            and os.environ.get("APERTIS_MOE_FUSED", "fatk") == "fatk"):
+        fat_stack = experts["fat"]
+        layers = dict(layers)
+        layers["ffn"] = dict(layers["ffn"])
+        layers["ffn"]["experts"] = {
+            k: v for k, v in experts.items() if k != "fat"}
+
     def body(h, xs):
-        lp, layer_cache = xs
+        lp, layer_cache, li = xs
         normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
         if is_ssm:
             attn_out, new_layer_cache = _ssm_decode_step(
@@ -857,12 +890,14 @@ def decode_step(
                 cos_t, sin_t, t)
         h = h + attn_out
         normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
-        ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False, rng=None)
+        ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
+                             rng=None, fat_stack=fat_stack, layer_idx=li)
         h = h + ffn_out
         return h, new_layer_cache
 
     h, new_cache = jax.lax.scan(
-        body, h, (params["layers"], cache),
+        body, h, (layers, cache,
+                  jnp.arange(config.num_hidden_layers, dtype=jnp.int32)),
         unroll=_decode_unroll(config.num_hidden_layers))
     h = _apply_norm(params["final_norm"], h, eps)
     logits = _lm_head(params, h)[:, 0, :]

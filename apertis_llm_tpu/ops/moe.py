@@ -284,6 +284,57 @@ def moe_dense_fat(
     return out.astype(x.dtype)
 
 
+def moe_dense_fat_kernel(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,       # carries the "fat" stack (models/moe_fuse.py)
+    hidden_act: str,
+    layer_norm_eps: float,
+    active_mask: Optional[jnp.ndarray] = None,
+    fat_stack: Optional[dict] = None,  # layer-stacked fat tensors (L, ...)
+    layer_idx=None,            # int32 layer index, required with fat_stack
+) -> jnp.ndarray:
+    """Combine-folded dense MoE FFN through ONE fused Pallas kernel.
+
+    Same weight layout as :func:`moe_dense_fat` (two fat 2D GEMMs over the
+    flattened E*I intermediate), but the act -> combine-scale -> requantize
+    chain between them runs in VMEM inside the kernel
+    (ops/pallas/moe_ffn.expert_ffn_fat) — the fat path's measured cost was
+    exactly its f32 hidden activations round-tripping HBM (~46 MB/layer at
+    the 1.5B decode shapes), and the per-expert kernel's was the (E, S, H)
+    all-expert output + combine einsum. Here HBM traffic is weights + x +
+    (S, H) out, read/written once. Hidden scales are per (row, tile) —
+    finer than the fat path's per-row; W2's shared per-channel scale is the
+    same coarsening (pinned in tests/test_moe_fused.py).
+
+    ``fat_stack``/``layer_idx``: inside the decode scan over layers, pass
+    the FULL layer-stacked fat tensors plus the iteration index — XLA
+    cannot fuse a dynamic-slice into a pallas operand and would
+    materialise both expert matrices every layer step (~47 us/layer
+    profiled at 1.5B shapes); the kernel scalar-prefetches the index and
+    DMAs tiles straight from the stack."""
+    from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    fat = fat_stack if fat_stack is not None else expert_params["fat"]
+    num_experts = expert_params["b2"].shape[0]
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + layer_norm_eps), 0.0)
+    xq, xs = quantize_rows(xf - mean)
+    xs = xs * inv
+
+    combine = _combine_weights(routing, num_experts, jnp.float32, active_mask)
+    out = expert_ffn_fat(
+        xq, xs, combine, fat["w1t_q"], fat["w1t_s"], fat["b1t"],
+        fat["w2t_q"], fat["w2t_s"], num_experts, layer_idx=layer_idx,
+        out_dtype=jnp.float32, hidden_act=hidden_act)
+    out = out + combine @ expert_params["b2"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def moe_dense_fused(
     x: jnp.ndarray,            # (S, H)
     routing: RouterOutput,

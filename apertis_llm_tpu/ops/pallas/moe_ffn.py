@@ -70,6 +70,141 @@ def kernel_activation(name: str):
     return _KERNEL_ACTS.get(name, _gelu_exact)
 
 
+def _fat_kernel(act_fn, tiles_per_expert,
+                lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
+                w2q_ref, w2s_ref, out_ref, acc_ref):
+    """Combine-folded fused MoE FFN: one grid step per intermediate tile.
+
+    Grid axis = tiles of the flattened E*I intermediate (each tile inside
+    one expert). Per step: int8 GEMM1 on the resident x block -> dequant ->
+    +b1 -> act -> x combine column for the tile's expert (selected from the
+    resident (S, E) block with an iota mask — Mosaic supports neither
+    in-kernel dynamic_slice nor sub-128-lane blocks) -> requantize per
+    (row, tile) -> int8 GEMM2 accumulated into the (S, H) output scratch. The hidden tile lives only in VMEM;
+    weight slices stream exactly once. Per-(row, tile) hidden scales fold
+    into the accumulation (finer than the fat path's per-row scales); W2's
+    shared per-output-channel scale is applied once in the epilogue.
+
+    Weights arrive LAYER-STACKED (L, ...) with the layer chosen by the
+    scalar-prefetched ``lidx_ref`` through the BlockSpec index maps: inside
+    the decode lax.scan over layers, XLA cannot fuse a dynamic-slice of the
+    stacked weights into a pallas operand and materialises a full copy of
+    both expert matrices every layer step (profiled at ~47 us/layer of the
+    ~94 us kernel time at the 1.5B shapes) — prefetching the index instead
+    DMAs tiles straight from the resident stack."""
+    ni = pl.program_id(0)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[:]                                    # (S, H) int8 resident
+    acc1 = jax.lax.dot_general(
+        xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (S, BN)
+    h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
+    h = act_fn(h)
+    # Select the tile's expert combine column from the resident (S, E)
+    # block with an iota mask — Mosaic supports neither in-kernel
+    # dynamic_slice nor sub-128-lane block shapes.
+    e_idx = ni // tiles_per_expert
+    comb = comb_ref[:]                                # (S, E)
+    lane = jax.lax.broadcasted_iota(jnp.int32, comb.shape, 1)
+    col = jnp.sum(jnp.where(lane == e_idx, comb, 0.0), axis=1, keepdims=True)
+    h = h * col
+
+    absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+
+    acc2 = jax.lax.dot_general(
+        hq, w2q_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (S, H)
+    acc_ref[:] += acc2.astype(jnp.float32) * hs
+
+    @pl.when(ni == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * w2s_ref[0]).astype(out_ref.dtype)
+
+
+def expert_ffn_fat(
+    xq: jnp.ndarray,      # (S, H) int8 — shared pre-quantized normalized x
+    xs: jnp.ndarray,      # (S, 1) float32 per-row activation scales
+    combine: jnp.ndarray, # (S, E) float32 routing-combine weights
+    w1t_q: jnp.ndarray,   # (H, E*I) or layer-stacked (L, H, E*I) int8
+    w1t_s: jnp.ndarray,   # (1, E*I) / (L, 1, E*I) float32
+    b1t: jnp.ndarray,     # (E*I,) / (L, E*I) float32
+    w2t_q: jnp.ndarray,   # (E*I, H) / (L, E*I, H) int8
+    w2t_s: jnp.ndarray,   # (1, H) / (L, 1, H) float32 shared per-out-channel
+    num_experts: int,
+    layer_idx=None,       # required iff weights are layer-stacked
+    out_dtype=jnp.bfloat16,
+    hidden_act: str = "gelu",
+    block_n: int = 1408,
+) -> jnp.ndarray:
+    """Combined MoE FFN output (S, H); ``combine @ b2`` is added outside."""
+    act_fn = kernel_activation(hidden_act)
+    s, h = xq.shape
+    if w1t_q.ndim == 2:
+        # Unstacked: present as a 1-layer stack.
+        w1t_q, w2t_q = w1t_q[None], w2t_q[None]
+        w1t_s, b1t, w2t_s = w1t_s[None], b1t[None], w2t_s[None]
+        layer_idx = 0
+    nl, _, ei = w1t_q.shape
+    i = ei // num_experts
+    # Tile must stay inside one expert and keep the lane dim 128-aligned.
+    bn = block_n
+    while i % bn != 0 or bn % 128 != 0:
+        bn //= 2
+        if bn < 128:
+            bn = 128 if i % 128 == 0 else i
+            break
+    tiles_per_expert = max(i // bn, 1)
+    sp = -(-s // 32) * 32                             # int8 sublane multiple
+    if sp != s:
+        xq = jnp.pad(xq, ((0, sp - s), (0, 0)))
+        xs = jnp.pad(xs, ((0, sp - s), (0, 0)))
+        combine = jnp.pad(combine, ((0, sp - s), (0, 0)))
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    # Index maps receive the grid ids then the scalar-prefetch refs.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ei // bn,),
+        in_specs=[
+            pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, 1), lambda ni, li: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, num_experts), lambda ni, li: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda ni, li: (li[0], ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((sp, h), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fat_kernel, act_fn, tiles_per_expert),
+        interpret=jax.default_backend() != "tpu",
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lidx, xq, xs, combine, w1t_q, w1t_s.reshape(nl, 1, ei),
+      b1t.reshape(nl, 1, ei), w2t_q, w2t_s.reshape(nl, 1, h))
+    return out[:s]
+
+
 def _kernel(act_fn, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
             w2q_ref, w2s_ref, b2_ref, out_ref):
     xq = xq_ref[:]                                    # (BM, H) int8

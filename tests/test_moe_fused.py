@@ -123,6 +123,98 @@ def test_fat_matches_dense(spread):
     assert rel < tol, f"fat deviates {rel:.4f} from dense (spread={spread})"
 
 
+@pytest.mark.parametrize("spread", [False, True])
+def test_fat_kernel_matches_dense(spread):
+    """Fused-Pallas fat path (ops/pallas/moe_ffn.expert_ffn_fat, interpret
+    mode off-TPU) vs the float dense path. Same weight layout and W2 scale
+    coarsening as moe_dense_fat; hidden scales are per (row, tile)."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s = 4, 64, 128, 16
+    experts = _expert_stack(0, e, h, i, scale_spread=spread)
+    routing = _routing(1, s, e)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(s, h)), jnp.float32)
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+    fat = {**experts, "fat": fuse_moe_decode_params_fat(experts)}
+    got = moe_ops.moe_dense_fat_kernel(x, routing, fat, "gelu", 1e-12)
+
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    rel = float(jnp.max(jnp.abs(got - ref))) / denom
+    tol = 0.12 if spread else 0.06
+    assert rel < tol, f"fat kernel deviates {rel:.4f} (spread={spread})"
+
+
+def test_fat_kernel_active_mask():
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s = 4, 32, 64, 8
+    experts = _expert_stack(6, e, h, i)
+    routing = _routing(7, s, e)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(s, h)), jnp.float32)
+    mask = jnp.asarray([True, False, True, True])
+
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12,
+                            active_mask=mask)
+    fat = {**experts, "fat": fuse_moe_decode_params_fat(experts)}
+    got = moe_ops.moe_dense_fat_kernel(x, routing, fat, "gelu", 1e-12,
+                                       active_mask=mask)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / denom < 0.06
+
+
+def test_fat_kernel_odd_rows_and_tile_split():
+    """Row counts off the 32-sublane multiple pad correctly, and a block_n
+    smaller than I exercises the per-(row, tile) scale accumulation."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+    from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    e, h, i, s = 2, 32, 256, 13
+    experts = _expert_stack(9, e, h, i)
+    routing = _routing(10, s, e)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(s, h)), jnp.float32)
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+
+    fat = fuse_moe_decode_params_fat(experts)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + 1e-12), 0.0)
+    xq, xs = quantize_rows(x - mean)
+    combine = moe_ops._combine_weights(routing, e, jnp.float32)
+    out = expert_ffn_fat(
+        xq, xs * inv, combine, fat["w1t_q"], fat["w1t_s"], fat["b1t"],
+        fat["w2t_q"], fat["w2t_s"], e, out_dtype=jnp.float32,
+        hidden_act="gelu", block_n=128)
+    out = out + combine @ experts["b2"]
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(out - ref))) / denom < 0.06
+
+
+def test_fat_kernel_layer_stacked_prefetch():
+    """The layer-stacked kernel (scalar-prefetched layer index — the decode
+    scan path that avoids XLA's dynamic-slice copies) matches running each
+    layer's unstacked kernel."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s, nl = 2, 32, 256, 16, 3
+    stacks = [_expert_stack(20 + li, e, h, i) for li in range(nl)]
+    stacked = {k: jnp.stack([st[k] for st in stacks]) for k in stacks[0]}
+    fat_stack = fuse_moe_decode_params_fat(stacked)
+    routing = _routing(30, s, e)
+    x = jnp.asarray(np.random.default_rng(31).normal(size=(s, h)), jnp.float32)
+
+    for li in range(nl):
+        per_layer = {**stacks[li],
+                     "fat": fuse_moe_decode_params_fat(stacks[li])}
+        want = moe_ops.moe_dense_fat_kernel(
+            x, routing, per_layer, "gelu", 1e-12)
+        got = moe_ops.moe_dense_fat_kernel(
+            x, routing, stacks[li], "gelu", 1e-12,
+            fat_stack=fat_stack, layer_idx=jnp.int32(li))
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-5, f"layer {li}"
+
+
 def test_fat_active_mask():
     from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
 
