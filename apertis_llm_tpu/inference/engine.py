@@ -273,6 +273,13 @@ class InferenceEngine:
         bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
         num_img = (self.config.num_image_tokens
                    if (self.config.multimodal and pixel_values is not None) else 0)
+        # Align the model's total prefill length (image prefix + text bucket)
+        # to the 8-row sublane tile: with a misaligned total (e.g. 197 + 32),
+        # every (B, L, D) <-> (B*L, D) flatten around the per-layer matmuls
+        # is a real relayout copy (profiled at ~130 ms of the b256 TTFT);
+        # aligned, they are bitcasts. The extra columns are ordinary bucket
+        # padding — masked out and state-invisible like any right-pad.
+        bucket += (-(num_img + bucket)) % 8
         _check_position_limit(self.config,
                               num_img + bucket + gen.max_new_tokens)
         padded_ids, padded_mask = input_ids, attention_mask
@@ -331,6 +338,7 @@ class InferenceEngine:
         num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
         pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         bucket = _round_up_bucket(l, self.PROMPT_BUCKETS)
+        bucket += (-(num_img + bucket)) % 8   # sublane-align prefix + bucket
         _check_position_limit(config, num_img + bucket + max_new)
         cache_len = num_img + bucket + max_new
 

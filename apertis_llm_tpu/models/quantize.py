@@ -31,9 +31,11 @@ _QUANT_KEYS = {"w": (2, 3), "w1": (3, 4), "w2": (3, 4), "in_proj_w": (2, 3)}
 _SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
                  "router_ln", "dt_proj", "conv", "lm_head"}
 # Whole subtrees left untouched by default: the ViT runs only at prefill
-# (not decode-bandwidth-bound) and reads its weights directly. At large
-# serving batches prefill is compute-bound and the int8 MXU rate beats
-# bf16, so APERTIS_QUANT_VIT=1 (or quantize_vision=True) opts the ViT in.
+# (not decode-bandwidth-bound) and reads its weights directly.
+# APERTIS_QUANT_VIT=1 (or quantize_vision=True) opts the ViT in — measured
+# NEUTRAL-to-slightly-negative for b256 TTFT on v5e (1,132 vs 1,100 ms
+# device-staged): at the ViT's shapes the extra activation-quantize passes
+# eat the int8 MXU gain. Kept for memory-constrained serving.
 _SKIP_SUBTREES = {"vision", "vision_proj", "cross_modal", "encoder"}
 _VISION_SUBTREES = {"vision", "vision_proj"}
 
