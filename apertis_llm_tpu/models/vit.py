@@ -53,7 +53,8 @@ def _qlin(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     return _linear(lp, x)
 
 
-def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
+def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int,
+                   key_bias=None) -> jnp.ndarray:
     b, l, d = x.shape
     head_dim = d // num_heads
     if "in_proj_w_q" in lp:
@@ -69,6 +70,8 @@ def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
     q, k, v = heads(q), heads(k), heads(v)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+    if key_bias is not None:
+        scores = scores + key_bias                        # (L,) over keys
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                      preferred_element_type=jnp.float32).astype(v.dtype)
@@ -76,10 +79,11 @@ def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
     return _qlin(lp["attn_out"], out)
 
 
-def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int) -> jnp.ndarray:
+def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int,
+               key_bias=None) -> jnp.ndarray:
     # Pre-norm residual blocks (norm_first=True).
     h = layer_norm(x, lp["ln1"]["w"], lp["ln1"]["b"], eps=_VIT_LN_EPS)
-    x = x + _vit_attention(h, lp, num_heads)
+    x = x + _vit_attention(h, lp, num_heads, key_bias)
     h = layer_norm(x, lp["ln2"]["w"], lp["ln2"]["b"], eps=_VIT_LN_EPS)
     h = gelu(_qlin(lp["linear1"], h))
     h = _qlin(lp["linear2"], h)
@@ -108,9 +112,24 @@ def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"]
 
+    # Sublane-align the token axis: 197 (196 patches + CLS) is not a
+    # multiple of 8, which pushes XLA into a transposed while-carry layout
+    # with per-layer relayout copies (profiled ~4 ms/layer at b256). Pad to
+    # the next multiple of 8 with attention-masked tokens — real-token
+    # outputs are exactly unchanged (pad keys get -inf scores; pad rows are
+    # sliced off before returning).
+    l = x.shape[1]
+    pad = (-l) % 8
+    key_bias = None
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        key_bias = jnp.where(jnp.arange(l + pad) < l, 0.0, -jnp.inf
+                             ).astype(jnp.float32)
+
     def body(h, lp):
-        return _vit_layer(h, lp, config.vision_heads), None
+        return _vit_layer(h, lp, config.vision_heads, key_bias), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
+    x = x[:, :l]
     return layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                       eps=_VIT_LN_EPS)

@@ -40,11 +40,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLK = 256    # independent scans per tile (sublane-major)
-CHUNK = 512      # timesteps per tile (lanes)
+CHUNK = 512      # max timesteps per tile (lanes)
 
 
-def _scan_kernel(a_ref, b_ref, out_ref, carry_ref):
-    """One (ROW_BLK, CHUNK) tile: in-tile Hillis-Steele + chunk carry."""
+def _chunk_for(l: int) -> int:
+    """Lane-tile size for sequence length ``l``: the 128-multiple that
+    covers it, capped at CHUNK — a 232-step prefill pads to 256, not 512
+    (the pad writes + in-kernel work scale with the padded length)."""
+    return min(CHUNK, -(-l // 128) * 128)
+
+
+def _scan_kernel(chunk, a_ref, b_ref, out_ref, carry_ref):
+    """One (ROW_BLK, chunk) tile: in-tile Hillis-Steele + chunk carry."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,9 +61,9 @@ def _scan_kernel(a_ref, b_ref, out_ref, carry_ref):
     a = a_ref[:].astype(jnp.float32)
     h = b_ref[:].astype(jnp.float32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     k = 1
-    while k < CHUNK:
+    while k < chunk:
         live = lane >= k
         h_sh = jnp.where(live, pltpu.roll(h, k, axis=1), 0.0)
         a_sh = jnp.where(live, pltpu.roll(a, k, axis=1), 1.0)
@@ -67,7 +74,7 @@ def _scan_kernel(a_ref, b_ref, out_ref, carry_ref):
     # Fold in the carried state: h[t] += (prod a[0..t]) * h_in.
     h = h + a * carry_ref[:, 0][:, None]
     out_ref[:] = h
-    carry_ref[:, 0] = h[:, CHUNK - 1]
+    carry_ref[:, 0] = h[:, chunk - 1]
 
 
 def _pad_to(x: jnp.ndarray, rows: int, cols: int, fill) -> jnp.ndarray:
@@ -80,22 +87,23 @@ def _pad_to(x: jnp.ndarray, rows: int, cols: int, fill) -> jnp.ndarray:
 def _scan_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Inclusive scan over axis 1 of (M, L) arrays, zero initial state."""
     m, l = a.shape
+    chunk = _chunk_for(l)
     mp = -(-m // ROW_BLK) * ROW_BLK
-    lp = -(-l // CHUNK) * CHUNK
+    lp = -(-l // chunk) * chunk
     a_p = _pad_to(a, mp, lp, 1.0)   # identity transition on padding
     b_p = _pad_to(b, mp, lp, 0.0)
 
-    grid = (mp // ROW_BLK, lp // CHUNK)
+    grid = (mp // ROW_BLK, lp // chunk)
     out = pl.pallas_call(
-        _scan_kernel,
+        functools.partial(_scan_kernel, chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROW_BLK, CHUNK), lambda i, j: (i, j),
+            pl.BlockSpec((ROW_BLK, chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLK, CHUNK), lambda i, j: (i, j),
+            pl.BlockSpec((ROW_BLK, chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_BLK, CHUNK), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((ROW_BLK, chunk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, lp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ROW_BLK, 128), jnp.float32)],
@@ -197,7 +205,7 @@ def selective_scan_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _gated_kernel(want_h):
+def _gated_kernel(want_h, chunk):
     """Tile kernel: inclusive scan + carry, output c*h (and h if want_h)."""
 
     def kernel(a_ref, b_ref, c_ref, out_ref, hlast_ref, *rest):
@@ -214,9 +222,9 @@ def _gated_kernel(want_h):
         a = a_ref[:].astype(jnp.float32)
         h = b_ref[:].astype(jnp.float32)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, CHUNK), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
         k = 1
-        while k < CHUNK:
+        while k < chunk:
             live = lane >= k
             h_sh = jnp.where(live, pltpu.roll(h, k, axis=1), 0.0)
             a_sh = jnp.where(live, pltpu.roll(a, k, axis=1), 1.0)
@@ -228,11 +236,11 @@ def _gated_kernel(want_h):
         out_ref[:] = (c_ref[:].astype(jnp.float32) * h).astype(out_ref.dtype)
         if want_h:
             h_ref[:] = h
-        carry_ref[:, 0] = h[:, CHUNK - 1]
+        carry_ref[:, 0] = h[:, chunk - 1]
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
-            hlast_ref[:] = h[:, CHUNK - 1][:, None]
+            hlast_ref[:] = h[:, chunk - 1][:, None]
 
     return kernel
 
@@ -245,14 +253,15 @@ def _gated_2d(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
     column of the scan in float32.
     """
     m, l = a.shape
+    chunk = _chunk_for(l)
     mp = -(-m // ROW_BLK) * ROW_BLK
-    lp = -(-l // CHUNK) * CHUNK
+    lp = -(-l // chunk) * chunk
     a_p = _pad_to(a, mp, lp, 1.0)   # identity transition on padding
     b_p = _pad_to(b, mp, lp, 0.0)
     c_p = _pad_to(c, mp, lp, 0.0)
 
-    grid = (mp // ROW_BLK, lp // CHUNK)
-    spec = pl.BlockSpec((ROW_BLK, CHUNK), lambda i, j: (i, j),
+    grid = (mp // ROW_BLK, lp // chunk)
+    spec = pl.BlockSpec((ROW_BLK, chunk), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((mp, lp), out_dtype),
                   jax.ShapeDtypeStruct((mp, 1), jnp.float32)]
@@ -263,7 +272,7 @@ def _gated_2d(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
         out_shapes.append(jax.ShapeDtypeStruct((mp, lp), jnp.float32))
         out_specs.append(spec)
     res = pl.pallas_call(
-        _gated_kernel(want_h),
+        _gated_kernel(want_h, chunk),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=out_specs,
