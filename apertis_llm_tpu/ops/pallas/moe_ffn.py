@@ -29,6 +29,7 @@ outside — it is a cheap (S,E)x(E,S,H) contraction.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,7 +71,7 @@ def kernel_activation(name: str):
     return _KERNEL_ACTS.get(name, _gelu_exact)
 
 
-def _fat_kernel(act_fn, tiles_per_expert,
+def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
                 lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
                 w2q_ref, w2s_ref, out_ref, acc_ref):
     """Combine-folded fused MoE FFN: one grid step per intermediate tile.
@@ -113,14 +114,24 @@ def _fat_kernel(act_fn, tiles_per_expert,
     col = jnp.sum(jnp.where(lane == e_idx, comb, 0.0), axis=1, keepdims=True)
     h = h * col
 
-    absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
-    hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
-    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    if bf16_dot2:
+        # Skip the requantize: dot bf16 activations against the raw int8
+        # weights cast to bf16 (integers <= 127 are exact in bf16). Trades
+        # the absmax/round/clip VPU passes for a bf16-rate MXU dot.
+        acc2 = jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w2q_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (S, H)
+        acc_ref[:] += acc2
+    else:
+        absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
 
-    acc2 = jax.lax.dot_general(
-        hq, w2q_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)             # (S, H)
-    acc_ref[:] += acc2.astype(jnp.float32) * hs
+        acc2 = jax.lax.dot_general(
+            hq, w2q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (S, H)
+        acc_ref[:] += acc2.astype(jnp.float32) * hs
 
     @pl.when(ni == pl.num_programs(0) - 1)
     def _():
@@ -140,9 +151,16 @@ def expert_ffn_fat(
     layer_idx=None,       # required iff weights are layer-stacked
     out_dtype=jnp.bfloat16,
     hidden_act: str = "gelu",
-    block_n: int = 1408,
+    block_n: Optional[int] = None,
+    bf16_dot2: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Combined MoE FFN output (S, H); ``combine @ b2`` is added outside."""
+    import os
+
+    if block_n is None:
+        block_n = int(os.environ.get("APERTIS_MOE_FATK_BN", "1408"))
+    if bf16_dot2 is None:
+        bf16_dot2 = os.environ.get("APERTIS_MOE_FATK_BF16DOT2", "0") == "1"
     act_fn = kernel_activation(hidden_act)
     s, h = xq.shape
     if w1t_q.ndim == 2:
@@ -194,7 +212,7 @@ def expert_ffn_fat(
         scratch_shapes=[pltpu.VMEM((sp, h), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_fat_kernel, act_fn, tiles_per_expert),
+        functools.partial(_fat_kernel, act_fn, tiles_per_expert, bf16_dot2),
         interpret=jax.default_backend() != "tpu",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),

@@ -191,6 +191,35 @@ def test_fat_kernel_odd_rows_and_tile_split():
     assert float(jnp.max(jnp.abs(out - ref))) / denom < 0.06
 
 
+def test_fat_kernel_bf16_dot2_matches_dense():
+    """bf16-GEMM2 kernel variant (APERTIS_MOE_FATK_BF16DOT2): the hidden is
+    cast to bf16 instead of requantized to int8 — error stays at the same
+    order as the int8 variants."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+    from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    e, h, i, s = 4, 64, 128, 16
+    experts = _expert_stack(0, e, h, i)
+    routing = _routing(1, s, e)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(s, h)), jnp.float32)
+    ref = moe_ops.moe_dense(x, routing, experts, "gelu", 1e-12)
+
+    fat = fuse_moe_decode_params_fat(experts)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + 1e-12), 0.0)
+    xq, xs = quantize_rows(x - mean)
+    combine = moe_ops._combine_weights(routing, e, jnp.float32)
+    out = expert_ffn_fat(
+        xq, xs * inv, combine, fat["w1t_q"], fat["w1t_s"], fat["b1t"],
+        fat["w2t_q"], fat["w2t_s"], e, out_dtype=jnp.float32,
+        hidden_act="gelu", bf16_dot2=True)
+    out = out + combine @ experts["b2"]
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(out - ref))) / denom < 0.06
+
+
 def test_fat_kernel_layer_stacked_prefetch():
     """The layer-stacked kernel (scalar-prefetched layer index — the decode
     scan path that avoids XLA's dynamic-slice copies) matches running each
