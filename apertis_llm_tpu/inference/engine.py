@@ -228,12 +228,18 @@ class InferenceEngine:
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):
-        """Context manager active while jitted programs trace/compile."""
-        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+        """Context manager active while jitted programs trace/compile.
+
+        Any serving mesh enters the context (single-device Pallas fast
+        paths like the fused LN+quantize check ``current().mesh`` and stand
+        down under GSPMD-sharded programs); the expert axis additionally
+        routes the MoE FFN through the engineered all-to-all dispatch."""
+        if self.mesh is not None:
             from apertis_llm_tpu.parallel.context import parallel_context
 
+            ep = "expert" if self.mesh.shape.get("expert", 1) > 1 else None
             return parallel_context(self.mesh, sp_axis=None,
-                                    batch_axis="data", ep_axis="expert")
+                                    batch_axis="data", ep_axis=ep)
         return contextlib.nullcontext()
 
     def _get_fn(self, gen: GenerationParams, lp: int, batch: int, has_image: bool):

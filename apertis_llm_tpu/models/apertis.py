@@ -142,6 +142,55 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _maybe_ln_quant(norm_p: Params, x: jnp.ndarray, eps: float,
+                    consumers) -> Tuple[Optional[jnp.ndarray],
+                                        Optional[Tuple]]:
+    """Fused norm + per-row int8 quantize for the serving full-sequence path.
+
+    When every consuming projection is int8-quantized and the token count
+    saturates the MXU, the XLA lowering of norm -> absmax -> round/clip
+    runs ~3 separate HBM passes over the (tokens, H) activation (profiled
+    ~3.7 ms/layer at the 1.5B b256 TTFT shapes); the fused kernel
+    (ops/pallas/ln_quant.py) does it in one read. Returns
+    ``(normed, None)`` on the plain path or ``(None, (x_q, x_s))`` fused —
+    consumers feed the pair to :func:`_linear_pre_q`."""
+    from apertis_llm_tpu.parallel.context import current as _parallel_current
+
+    rows = x.size // x.shape[-1]
+    lnq = os.environ.get("APERTIS_LN_QUANT", "1")
+    # 'force' engages off-TPU / at any row count (interpret-mode kernel) so
+    # tests can pin the fused full-forward against the unfused path on CPU.
+    if (((_on_tpu() and rows >= 512) or lnq == "force")
+            and _quant_mode() in ("auto", "dyn")
+            and all(c is not None and "w_q" in c for c in consumers)
+            and _parallel_current().mesh is None
+            and lnq != "0"):
+        from apertis_llm_tpu.ops.pallas.ln_quant import ln_quantize
+
+        if "scale" in norm_p:
+            q, s = ln_quantize(x, norm_p["scale"], None, eps=eps, rms=True)
+        else:
+            q, s = ln_quantize(x, norm_p["w"], norm_p["b"], eps=eps,
+                               rms=False)
+        return None, (q, s)
+    return _apply_norm(norm_p, x, eps), None
+
+
+def _linear_pre_q(p: Params, x_q: jnp.ndarray, x_s: jnp.ndarray,
+                  out_dtype) -> jnp.ndarray:
+    """int8 matmul with PRE-quantized activations — the same math as
+    ops/pallas/quant_matmul.quant_matmul_dyn_xla after its quantize_rows,
+    so fused-LN callers produce identical outputs to the unfused path."""
+    acc = jax.lax.dot_general(
+        x_q, p["w_q"], (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * x_s
+         * p["w_s"].reshape(1, -1).astype(jnp.float32)).astype(out_dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
     try:
@@ -301,11 +350,13 @@ def _ssm_compute_params(lp: Params, config: ApertisConfig, x_act: jnp.ndarray):
 def _ssm_full(
     lp: Params,
     config: ApertisConfig,
-    x: jnp.ndarray,  # (B, L, D) pre-normed
+    x: Optional[jnp.ndarray],  # (B, L, D) pre-normed (None with x_quant)
     *,
     want_cache: bool,
     seq_mask: Optional[jnp.ndarray] = None,   # (B, L) 1 = real token
     seq_lens: Optional[jnp.ndarray] = None,   # (B,) real lengths (for cache)
+    x_quant: Optional[Tuple] = None,          # fused-LN (x_q, x_s) pair
+    out_dtype=None,
 ):
     """Selective-SSM mixer over a full sequence.
 
@@ -316,12 +367,18 @@ def _ssm_full(
     reproduces the reference exactly (which ignores the attention mask,
     core.py:356-401).
     """
-    b, l, _ = x.shape
+    if x_quant is not None:
+        x_q, x_s = x_quant
+        b, l, _ = x_q.shape
+        x_proj = _linear_pre_q(lp["in_proj_x"], x_q, x_s, out_dtype)
+        z = _linear_pre_q(lp["in_proj_z"], x_q, x_s, out_dtype)
+    else:
+        b, l, _ = x.shape
+        x_proj = _linear(lp["in_proj_x"], x)              # (B, L, d_inner)
+        z = _linear(lp["in_proj_z"], x)
+    dtype = x.dtype if x is not None else jnp.dtype(out_dtype)
     d_inner = config.ssm_d_inner
     k = config.ssm_conv_kernel
-
-    x_proj = _linear(lp["in_proj_x"], x)                  # (B, L, d_inner)
-    z = _linear(lp["in_proj_z"], x)
     x_conv = ssm_ops.depthwise_causal_conv(x_proj, lp["conv"]["w"], lp["conv"]["b"])
     x_act = silu(x_conv)
 
@@ -342,14 +399,14 @@ def _ssm_full(
             b_term = b_term * m
         h, h_last = ssm_scan_sequence_parallel(
             a_bar, b_term, sp.mesh, sp.sp_axis, batch_axis=sp.batch_axis)
-        y = (c_mod.astype(h.dtype) * h).astype(x.dtype)   # (B, H, L, N)
+        y = (c_mod.astype(h.dtype) * h).astype(dtype)    # (B, H, L, N)
         y = y.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
         h_last_f32 = h_last.astype(jnp.float32)
     else:
         delta, a_cont, b_nat, c_nat = _ssm_delta_bc(lp, config, x_act)
         y, h_last_f32 = ssm_ops.ssm_mix(
             delta, a_cont, b_nat, c_nat, seq_mask=seq_mask,
-            out_dtype=x.dtype)                            # (B, L, d_inner)
+            out_dtype=dtype)                              # (B, L, d_inner)
     y = y + lp["D"] * x_act
     out = _linear(lp["out_proj"], y * silu(z))
 
@@ -359,7 +416,7 @@ def _ssm_full(
         # (reference: core.py:372); SSM state is the final recurrence carry.
         pad = jnp.pad(x_proj, ((0, 0), (k - 1, 0), (0, 0)))  # (B, L+K-1, C)
         if k <= 1:
-            conv_state = jnp.zeros((b, 0, d_inner), x.dtype)
+            conv_state = jnp.zeros((b, 0, d_inner), dtype)
         elif seq_lens is None:
             conv_state = pad[:, -(k - 1):, :]
         else:
@@ -384,11 +441,18 @@ def _ffn(
     rng: Optional[jax.Array],
     fat_stack: Optional[Params] = None,  # layer-stacked MoE fat tensors
     layer_idx=None,                      # int32 index into fat_stack
+    x_quant: Optional[Tuple] = None,     # fused-LN (x_q, x_s) of the input
+    out_dtype=None,
 ):
     eps = config.layer_norm_eps
     zero = jnp.zeros((), jnp.float32)
     if config.use_swiglu:
-        h = silu(_linear(lp["w_gate"], x)) * _linear(lp["w_up"], x)
+        if x_quant is not None:
+            x_q, x_s = x_quant
+            h = (silu(_linear_pre_q(lp["w_gate"], x_q, x_s, out_dtype))
+                 * _linear_pre_q(lp["w_up"], x_q, x_s, out_dtype))
+        else:
+            h = silu(_linear(lp["w_gate"], x)) * _linear(lp["w_up"], x)
         out = _linear(lp["w_down"], h)
         out = _dropout(rng, out, config.hidden_dropout_prob, training)
         return out, zero, zero
@@ -480,7 +544,11 @@ def _ffn(
         return out.reshape(b, l, d), routing.lb_loss, routing.rz_loss
     # dense FFN: Linear -> act -> Dropout -> Linear
     act = get_activation(config.hidden_act)
-    h = act(_linear(lp["w1"], x))
+    if x_quant is not None:
+        x_q, x_s = x_quant
+        h = act(_linear_pre_q(lp["w1"], x_q, x_s, out_dtype))
+    else:
+        h = act(_linear(lp["w1"], x))
     h = _dropout(rng, h, config.hidden_dropout_prob, training)
     return _linear(lp["w2"], h), zero, zero
 
@@ -509,21 +577,35 @@ def _layer_full(
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     eps = config.layer_norm_eps
 
-    normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
     if config.attention_type == "selective_ssm":
+        # Serving-int8 full-sequence path: fuse the pre-norm with the
+        # activation quantize both projections consume (_maybe_ln_quant).
+        normed, x_quant = _maybe_ln_quant(
+            lp["attn"]["pre_norm"], h, eps,
+            (lp["attn"].get("in_proj_x"), lp["attn"].get("in_proj_z")))
         attn_out, cache = _ssm_full(lp["attn"], config, normed,
                                     want_cache=want_cache,
-                                    seq_mask=seq_mask, seq_lens=seq_lens)
+                                    seq_mask=seq_mask, seq_lens=seq_lens,
+                                    x_quant=x_quant, out_dtype=h.dtype)
         probs = None
     else:
+        normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
         attn_out, cache, probs = _mha_full(
             lp["attn"], config, normed, bias, pos_ids, cos_t, sin_t,
             training=training, rng=rngs[0], want_cache=want_cache,
             want_probs=want_probs, cp_kv_valid=cp_kv_valid)
     h = h + _dropout(rngs[1], attn_out, config.hidden_dropout_prob, training)
 
-    normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
-    ffn_out, lb, rz = _ffn(lp["ffn"], config, normed, training=training, rng=rngs[2])
+    fp = lp["ffn"]
+    if config.use_swiglu:
+        ffn_consumers = (fp.get("w_gate"), fp.get("w_up"))
+    elif config.use_expert_system and config.num_experts > 0:
+        ffn_consumers = (None,)   # the router reads the normed tensor
+    else:
+        ffn_consumers = (fp.get("w1"),)
+    normed, ffn_quant = _maybe_ln_quant(fp["pre_norm"], h, eps, ffn_consumers)
+    ffn_out, lb, rz = _ffn(fp, config, normed, training=training,
+                           rng=rngs[2], x_quant=ffn_quant, out_dtype=h.dtype)
     h = h + _dropout(rngs[3], ffn_out, config.hidden_dropout_prob, training)
     return h, cache, lb, rz, probs
 

@@ -236,3 +236,43 @@ def test_ssm_mix_pallas_matches_xla(masked):
             os.environ.pop("APERTIS_SSM_KERNEL", None)
         else:
             os.environ["APERTIS_SSM_KERNEL"] = orig
+
+
+class TestLnQuant:
+    """Fused norm+quantize kernel (ops/pallas/ln_quant.py, interpret mode
+    off-TPU) vs the unfused norm -> quantize_rows composition it replaces
+    on the serving prefill path — bit-exact by construction (the kernel
+    reproduces the bf16 round-trip between the norm and the quantize)."""
+
+    def _check(self, rms):
+        import numpy as np
+        import jax.numpy as jnp
+        from apertis_llm_tpu.ops.norms import layer_norm, rms_norm
+        from apertis_llm_tpu.ops.pallas.ln_quant import ln_quantize
+        from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.standard_normal((37, 256)) * 2.0, jnp.bfloat16)
+        x = x.at[5].set(0.0)  # zero-row guard path
+        w = jnp.asarray(1.0 + 0.1 * r.standard_normal(256), jnp.float32)
+        b = jnp.asarray(0.05 * r.standard_normal(256), jnp.float32)
+        eps = 1e-5
+        if rms:
+            normed = rms_norm(x, w, eps=eps)
+            q, s = ln_quantize(x, w, None, eps=eps, rms=True)
+        else:
+            normed = layer_norm(x, w, b, eps=eps)
+            q, s = ln_quantize(x, w, b, eps=eps, rms=False)
+        q_ref, s_ref = quantize_rows(normed.reshape(-1, 256))
+        dq = np.abs(np.asarray(q).astype(int) - np.asarray(q_ref).astype(int))
+        # Reduction-order ulp differences in the row statistics can flip an
+        # element sitting exactly on a rounding boundary by one level.
+        assert dq.max() <= 1 and (dq > 0).mean() < 1e-3, dq.max()
+        assert np.allclose(np.asarray(s)[:, 0], np.asarray(s_ref)[:, 0],
+                           rtol=1e-6)
+
+    def test_layer_norm(self):
+        self._check(rms=False)
+
+    def test_rms_norm(self):
+        self._check(rms=True)

@@ -286,3 +286,34 @@ def test_quantize_vision_opt_in():
     ids = jnp.asarray([[1, 5, 9], [2, 6, 10]])
     out = model_lib.forward(qparams, config, ids, pixel_values=pixels)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+@pytest.mark.parametrize("swiglu", [False, True])
+def test_fused_ln_quant_matches_unfused_forward(swiglu, monkeypatch):
+    """APERTIS_LN_QUANT=force routes every pre-norm through the fused
+    Pallas norm+quantize kernel (interpret mode on CPU); logits must match
+    the unfused norm -> quantize_rows path bit-for-bit up to the kernel's
+    documented |dq| <= 1 rounding-boundary flips."""
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256, use_swiglu=swiglu,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+    ids = jnp.asarray(np.random.default_rng(1).integers(4, 128, (2, 12)))
+
+    # 'dyn' pins both paths to the same int8-dot math (_linear_pre_q is
+    # quant_matmul_dyn_xla minus its in-graph quantize_rows).
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "dyn")
+    monkeypatch.setenv("APERTIS_LN_QUANT", "0")
+    base = model_lib.forward(qparams, config, ids).logits
+    monkeypatch.setenv("APERTIS_LN_QUANT", "force")
+    fused = model_lib.forward(qparams, config, ids).logits
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(base, np.float32),
+                               rtol=0, atol=0.05)
+    agree = float(jnp.mean(
+        (jnp.argmax(base, -1) == jnp.argmax(fused, -1)).astype(jnp.float32)))
+    assert agree == 1.0
