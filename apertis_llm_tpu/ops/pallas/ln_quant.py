@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_M = 1024
+# 256 rows keeps the f32 working set (x + normed, ~2.5 MB each at H=2432)
+# plus double-buffered IO inside the 16 MB scoped-VMEM limit up to H~8K;
+# 1024-row blocks OOMed the stack at the 1.5B TTFT shape (59392 x 2432).
+BLOCK_M = 256
 
 
 def _kernel(eps, is_rms, has_bias, x_ref, w_ref, b_ref, q_ref, s_ref):
