@@ -107,7 +107,7 @@ def make_pp_loss_fn(
         # stages see the full image+text sequence, and the loss tail slices
         # the image positions off before the lm_head — mirroring the
         # single-program forward (models/apertis.py:651-655; reference:
-        # core.py:1399-1408). 1F1B stays text-only (hand-assembled vjps).
+        # core.py:1399-1408).
         embeds, pos_ids, attention_mask, num_img = model_lib.assemble_inputs(
             run_params, config, ids, attention_mask, None, pixel_values)
         lt = embeds.shape[1]          # num_img + l
@@ -281,6 +281,14 @@ def make_pp_loss_and_grads_1f1b(
     masks are folded per microbatch, so with dropout > 0 the sampled masks
     differ from the GPipe path (both are valid dropout draws).
 
+    Multimodal batches pipeline too: the ViT prefix is computed OUTSIDE the
+    shard_map under an explicit ``jax.vjp``; stage 0 concatenates each
+    microbatch's prefix slice ahead of the token embeddings, the loss tail
+    drops the image positions, and the backward accumulates the prefix
+    cotangent per microbatch, which feeds the vision-tower vjp after the
+    pipeline loop (mirroring single-program training,
+    models/apertis.py:637-654).
+
     Returns ``fn(params, batch, rng) -> (loss, metrics, grads)``.
     """
     n_stages = mesh.shape[stage_axis]
@@ -296,11 +304,6 @@ def make_pp_loss_and_grads_1f1b(
 
     def fn(params: Params, batch: Dict[str, jnp.ndarray],
            rng: Optional[jax.Array]):
-        if "pixel_values" in batch and batch["pixel_values"] is not None:
-            raise NotImplementedError(
-                "the 1f1b schedule is text-only (its backward is assembled "
-                "from per-stage vjps); use schedule='gpipe' or the GSPMD "
-                "mesh axes for multimodal models")
         run_params = params
         if compute_dtype is not None and compute_dtype != jnp.float32:
             run_params = jax.tree.map(
@@ -310,6 +313,7 @@ def make_pp_loss_and_grads_1f1b(
         ids = batch["input_ids"]
         labels = batch["labels"]
         attention_mask = batch.get("attention_mask")
+        pixel_values = batch.get("pixel_values")
         if attention_mask is None:
             attention_mask = jnp.ones_like(ids)
         b, l = ids.shape
@@ -320,35 +324,74 @@ def make_pp_loss_and_grads_1f1b(
         R = 2 * S                      # stash ring depth (in-flight bound)
         ticks = M + 2 * S - 1
 
-        pos_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :],
-                                   (b, l))
-        ids_mb = ids.reshape(M, mb, l)
-        pos_mb = pos_ids.reshape(M, mb, l)
-        labels_mb = labels.reshape(M, mb, l)
-        bias_mb = None
-        if is_mha:
-            bias = model_lib._build_bias(attention_mask, l, 0, jnp.float32)
-            bias_mb = bias.reshape(M, mb, 1, l, l)
-        cos_t, sin_t = model_lib._rope_tables_if_needed(config)
-        # Global CE normaliser, known before any pipeline work.
-        total_count = jnp.maximum(
-            jnp.sum((labels[:, 1:] != -100).astype(jnp.float32)), 1.0)
-
         rngs = (jax.random.split(rng, 2) if rng is not None else [None, None])
         emb_rng, layer_rng = rngs[0], rngs[1]
         h_dtype = (compute_dtype if compute_dtype is not None
                    else params["embed"]["tok"].dtype)
 
+        # Vision prefix under an explicit vjp (the hand-assembled backward
+        # returns its cotangent, which drives the vision grads after the
+        # pipeline loop).
+        mm = config.multimodal and pixel_values is not None
+        prefix = vis_vjp = None
+        num_img = 0
+        if mm:
+            from apertis_llm_tpu.models.vit import (preprocess_images,
+                                                    vit_encode)
+
+            pv = pixel_values
+            if pv.dtype == jnp.uint8 or pv.shape[-1] == 3:
+                pv = preprocess_images(pv, config.image_size)
+
+            def vis_fwd(vp):
+                img = vit_encode(vp["vision"], config, pv)
+                if "vision_proj" in vp:
+                    img = model_lib._linear(vp["vision_proj"], img)
+                return img.astype(h_dtype)
+
+            vis_keys = [k for k in ("vision", "vision_proj")
+                        if k in run_params]
+            prefix, vis_vjp = jax.vjp(
+                vis_fwd, {k: run_params[k] for k in vis_keys})
+            num_img = prefix.shape[1]
+        lt = num_img + l
+
+        # Full-sequence positions: image prefix 0..num_img-1, text shifted
+        # (matches assemble_inputs, models/apertis.py:650-652).
+        pos_ids = jnp.broadcast_to(
+            jnp.arange(lt, dtype=jnp.int32)[None, :], (b, lt))
+        ids_mb = ids.reshape(M, mb, l)
+        pos_mb = pos_ids.reshape(M, mb, lt)
+        labels_mb = labels.reshape(M, mb, l)
+        prefix_mb = (prefix.reshape(M, mb, num_img, prefix.shape[-1])
+                     if mm else None)
+        bias_mb = None
+        if is_mha:
+            full_mask = (jnp.concatenate(
+                [jnp.ones((b, num_img), attention_mask.dtype),
+                 attention_mask], axis=1) if mm else attention_mask)
+            bias = model_lib._build_bias(full_mask, lt, 0, jnp.float32)
+            bias_mb = bias.reshape(M, mb, 1, lt, lt)
+        cos_t, sin_t = model_lib._rope_tables_if_needed(config)
+        # Global CE normaliser, known before any pipeline work.
+        total_count = jnp.maximum(
+            jnp.sum((labels[:, 1:] != -100).astype(jnp.float32)), 1.0)
+
         def stage_body(local_layers, tail_params, ids_mb, pos_mb, labels_mb,
                        total_count, *rest):
-            bias_mb = rest[0] if is_mha else None
+            rest = list(rest)
+            bias_mb = rest.pop(0) if is_mha else None
+            prefix_mb = rest.pop(0) if mm else None
             s = jax.lax.axis_index(stage_axis)
             is_first = s == 0
             is_last = s == S - 1
             mb_local = ids_mb.shape[1]   # per-data-shard microbatch rows
 
-            def pre_fn(tp, ids_1, pos_1, mb_idx):
+            def pre_fn(tp, prefix_1, ids_1, pos_1, mb_idx):
                 e = jnp.take(tp["embed"]["tok"], ids_1, axis=0)
+                if mm:
+                    e = jnp.concatenate(
+                        [prefix_1, e.astype(h_dtype)], axis=1)
                 if (config.position_embedding_type == "absolute"
                         and "abs_pos" in tp):
                     e = e + jnp.take(tp["abs_pos"]["emb"], pos_1, axis=0)
@@ -378,7 +421,11 @@ def make_pp_loss_and_grads_1f1b(
                 return h, lb, rz
 
             def tail_sum_nll(tp, y, labels_1):
-                hn = model_lib._apply_norm(tp["final_norm"], y, eps)
+                # Image positions carry no labels — slice them off before
+                # the lm_head (norm is per-position, so slicing first is
+                # equivalent and cheaper; mirrors the GPipe tail).
+                hn = model_lib._apply_norm(tp["final_norm"],
+                                           y[:, num_img:, :], eps)
                 logits = model_lib._lm_head(tp, hn)
                 shift_logits = logits[:, :-1, :].astype(jnp.float32)
                 shift_labels = labels_1[:, 1:]
@@ -398,12 +445,12 @@ def make_pp_loss_and_grads_1f1b(
                 return jax.lax.pvary(x, axes)
 
             hidden = tail_params["embed"]["tok"].shape[-1]
-            zero_h = jnp.zeros((mb_local, l, hidden), h_dtype)
+            zero_h = jnp.zeros((mb_local, lt, hidden), h_dtype)
             zeros_f32 = jnp.zeros((), jnp.float32)
             carry0 = dict(
                 h_recv=varying(zero_h),
                 g_recv=varying(zero_h),
-                stash=varying(jnp.zeros((R, mb_local, l, hidden), h_dtype)),
+                stash=varying(jnp.zeros((R, mb_local, lt, hidden), h_dtype)),
                 loss=varying(zeros_f32),
                 lb=varying(zeros_f32),
                 rz=varying(zeros_f32),
@@ -412,6 +459,11 @@ def make_pp_loss_and_grads_1f1b(
                 dtail=varying(jax.tree.map(
                     lambda x: jnp.zeros(x.shape, jnp.float32), tail_params)),
             )
+            if mm:
+                # Per-microbatch vision-prefix cotangents (filled by stage
+                # 0's backward, zero elsewhere).
+                carry0["dprefix"] = varying(
+                    jnp.zeros((M, mb_local, num_img, hidden), jnp.float32))
             perm_down = [(i, (i + 1) % S) for i in range(S)]
             perm_up = [(i, (i - 1) % S) for i in range(S)]
 
@@ -426,9 +478,11 @@ def make_pp_loss_and_grads_1f1b(
                 lab_f = jax.lax.dynamic_index_in_dim(labels_mb, f, 0, False)
                 bias_f = (jax.lax.dynamic_index_in_dim(bias_mb, f, 0, False)
                           if is_mha else None)
+                pre_f = (jax.lax.dynamic_index_in_dim(prefix_mb, f, 0, False)
+                         if mm else None)
 
                 # ---- forward unit (microbatch f) ----
-                h_emb = pre_fn(tail_params, ids_f, pos_f, f)
+                h_emb = pre_fn(tail_params, pre_f, ids_f, pos_f, f)
                 h_in = jnp.where(is_first, h_emb, carry["h_recv"])
                 y, lb_f, rz_f = local_fwd(local_layers, h_in, f, pos_f, bias_f)
                 slot = jnp.remainder(f, R)
@@ -465,12 +519,30 @@ def make_pp_loss_and_grads_1f1b(
                     lambda a, g: a + g.astype(jnp.float32),
                     carry["dlayers"], dlayers_mb)
 
-                # Stage 0 feeds its input cotangent into the embedding vjp.
+                # Stage 0 feeds its input cotangent into the embedding (and,
+                # multimodal, vision-prefix) vjp.
                 ids_b = jax.lax.dynamic_index_in_dim(ids_mb, b_, 0, False)
                 dh_emb = jnp.where(is_first, dh, jnp.zeros_like(dh))
-                _, pre_vjp = jax.vjp(
-                    lambda tp: pre_fn(tp, ids_b, pos_b, b_), tail_params)
-                (dtail_emb,) = pre_vjp(dh_emb)
+                out_extra = {}
+                if mm:
+                    pre_b = jax.lax.dynamic_index_in_dim(
+                        prefix_mb, b_, 0, False)
+                    _, pre_vjp = jax.vjp(
+                        lambda tp, pf: pre_fn(tp, pf, ids_b, pos_b, b_),
+                        tail_params, pre_b)
+                    dtail_emb, dpre_b = pre_vjp(dh_emb)
+                    dprefix = carry["dprefix"]
+                    dpre_cur = jax.lax.dynamic_index_in_dim(
+                        dprefix, b_, 0, False)
+                    out_extra["dprefix"] = jax.lax.dynamic_update_index_in_dim(
+                        dprefix,
+                        jnp.where(bwd_on, dpre_b.astype(jnp.float32),
+                                  dpre_cur), b_, 0)
+                else:
+                    _, pre_vjp = jax.vjp(
+                        lambda tp: pre_fn(tp, None, ids_b, pos_b, b_),
+                        tail_params)
+                    (dtail_emb,) = pre_vjp(dh_emb)
                 dtail = jax.tree.map(
                     lambda a, g1, g2: a + g1.astype(jnp.float32)
                     + g2.astype(jnp.float32),
@@ -480,7 +552,7 @@ def make_pp_loss_and_grads_1f1b(
                 g_next = jax.lax.ppermute(dh, stage_axis, perm_up)
                 return dict(h_recv=h_next, g_recv=g_next, stash=stash,
                             loss=loss_acc, lb=lb_acc, rz=rz_acc,
-                            dlayers=dlayers, dtail=dtail)
+                            dlayers=dlayers, dtail=dtail, **out_extra)
 
             out = jax.lax.fori_loop(0, ticks, tick, carry0)
 
@@ -494,11 +566,20 @@ def make_pp_loss_and_grads_1f1b(
                 lambda g: jax.lax.psum(g, batch_axis), out["dlayers"])
                 if data_par > 1 else out["dlayers"])
             dtail = jax.tree.map(lambda g: jax.lax.psum(g, axes), out["dtail"])
+            if mm:
+                # Only stage 0 wrote real cotangents (zeros elsewhere); rows
+                # stay data-sharded, so psum over the stage axis only.
+                dprefix = jax.lax.psum(out["dprefix"], stage_axis)
+                return loss, lb, rz, dlayers, dtail, dprefix
             return loss, lb, rz, dlayers, dtail
 
         layer_specs = jax.tree.map(lambda _: P(stage_axis),
                                    run_params["layers"])
-        tail_params = {k: v for k, v in run_params.items() if k != "layers"}
+        # The vision tower never runs inside the stages (its vjp lives
+        # outside) — keep it out of the shard_map so no per-tick zero-grad
+        # buffers are carried for it.
+        skip = {"layers"} | (set(vis_keys) if mm else set())
+        tail_params = {k: v for k, v in run_params.items() if k not in skip}
         tail_specs = jax.tree.map(lambda _: P(), tail_params)
         mb_spec = P(None, batch_axis, None)
         in_specs = [layer_specs, tail_specs, mb_spec, mb_spec, mb_spec, P()]
@@ -507,19 +588,31 @@ def make_pp_loss_and_grads_1f1b(
         if is_mha:
             in_specs.append(P(None, batch_axis, None, None, None))
             args.append(bias_mb)
+        out_specs = [P(), P(), P(),
+                     jax.tree.map(lambda _: P(stage_axis),
+                                  run_params["layers"]),
+                     jax.tree.map(lambda _: P(), tail_params)]
+        if mm:
+            in_specs.append(P(None, batch_axis, None, None))
+            args.append(prefix_mb)
+            out_specs.append(P(None, batch_axis, None, None))
 
-        loss, lb, rz, dlayers, dtail = jax.shard_map(
+        out = jax.shard_map(
             stage_body, mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(), P(), P(),
-                       jax.tree.map(lambda _: P(stage_axis),
-                                    run_params["layers"]),
-                       jax.tree.map(lambda _: P(), tail_params)),
+            out_specs=tuple(out_specs),
             check_vma=False,
         )(*args)
+        loss, lb, rz, dlayers, dtail = out[:5]
         grads = dict(dtail)
         grads["layers"] = dlayers
-        # Match the params tree exactly (tail_params is params minus layers).
+        if mm:
+            # Feed the accumulated prefix cotangent through the vision vjp.
+            dprefix = out[5].reshape(b, num_img, -1).astype(prefix.dtype)
+            (dvis,) = vis_vjp(dprefix)
+            grads.update(jax.tree.map(
+                lambda g: g.astype(jnp.float32), dvis))
+        # Match the params tree exactly.
         grads = {k: grads[k] for k in params.keys()}
         metrics = {"loss": loss, "lb_loss": lb, "rz_loss": rz}
         return loss, metrics, grads

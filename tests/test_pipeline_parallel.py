@@ -471,3 +471,48 @@ def test_pp_multimodal_loss_and_grads_match_single_program():
         np.testing.assert_allclose(
             np.asarray(s), np.asarray(r), rtol=2e-4, atol=2e-4,
             err_msg=jax.tree_util.keystr(kr))
+
+
+def test_pp_multimodal_1f1b_matches_single_program():
+    """1F1B pipelines multimodal batches too (lifts the last PP text-only
+    restriction): the ViT prefix is computed outside the shard_map under an
+    explicit vjp, and its per-microbatch cotangent from the hand-assembled
+    backward reproduces single-program vision grads."""
+    from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.training.pp_step import (
+        make_pp_loss_and_grads_1f1b, shard_params_for_pipeline)
+    from apertis_llm_tpu.training.step import loss_fn
+    from jax.sharding import NamedSharding
+
+    config = _model_config(
+        attention_type="selective_ssm", ssm_d_state=8, multimodal=True,
+        image_size=32, vision_patch_size=8, vision_embed_dim=48,
+        vision_layers=2, vision_heads=4)
+    params = init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(4)
+    b, l = 4, 12
+    ids = rng.integers(4, config.vocab_size, size=(b, l)).astype(np.int32)
+    pixels = rng.normal(size=(b, 3, 32, 32)).astype(np.float32)
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((b, l), jnp.int32),
+             "labels": jnp.asarray(ids),
+             "pixel_values": jnp.asarray(pixels)}
+
+    single = float(loss_fn(params, config, batch, None)[0])
+    gref = jax.grad(lambda p: loss_fn(p, config, batch, None)[0])(params)
+
+    # data=2 x model=2: exercises the data-sharded prefix cotangent too.
+    mesh = create_mesh(jax.devices()[:4], (2, 2, 1, 1))
+    sharded = shard_params_for_pipeline(params, mesh)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    f1 = make_pp_loss_and_grads_1f1b(config, mesh, num_micro=2)
+    loss, _, gpp = jax.jit(lambda p, bt: f1(p, bt, None))(sharded, sbatch)
+    assert abs(single - float(loss)) < 1e-4, f"{single} vs {float(loss)}"
+
+    flatref = jax.tree_util.tree_leaves_with_path(gref)
+    flatpp = jax.tree_util.tree_leaves_with_path(gpp)
+    assert any("vision" in jax.tree_util.keystr(k) for k, _ in flatref)
+    for (kr, r), (_, s) in zip(flatref, flatpp):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(r), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(kr))
