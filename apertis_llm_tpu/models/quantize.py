@@ -33,9 +33,11 @@ _SKIP_PARENTS = {"embed", "abs_pos", "final_norm", "pre_norm", "router",
 # Whole subtrees left untouched by default: the ViT runs only at prefill
 # (not decode-bandwidth-bound) and reads its weights directly.
 # APERTIS_QUANT_VIT=1 (or quantize_vision=True) opts the ViT in — measured
-# NEUTRAL-to-slightly-negative for b256 TTFT on v5e (1,132 vs 1,100 ms
-# device-staged): at the ViT's shapes the extra activation-quantize passes
-# eat the int8 MXU gain. Kept for memory-constrained serving.
+# NEUTRAL-to-slightly-negative for b256 TTFT on v5e twice: 1,132 vs
+# 1,100 ms device-staged (separate quantize passes), and still 958 vs
+# 943 ms with the pre-norm quantizes fused into ln_quant (the remaining
+# cost sits in the attention einsums/softmax, not the GEMMs int8
+# accelerates). Kept for memory-constrained serving.
 _SKIP_SUBTREES = {"vision", "vision_proj", "cross_modal", "encoder"}
 _VISION_SUBTREES = {"vision", "vision_proj"}
 

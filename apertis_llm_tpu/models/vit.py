@@ -54,14 +54,23 @@ def _qlin(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int,
-                   key_bias=None) -> jnp.ndarray:
-    b, l, d = x.shape
-    head_dim = d // num_heads
-    if "in_proj_w_q" in lp:
+                   key_bias=None, x_quant=None, out_dtype=None) -> jnp.ndarray:
+    if x_quant is not None:
+        from apertis_llm_tpu.models.apertis import _linear_pre_q
+
+        b, l, _ = x_quant[0].shape
+        d = lp["in_proj_w_q"].shape[0]
+        qkv = _linear_pre_q(
+            {"w_q": lp["in_proj_w_q"], "w_s": lp["in_proj_w_s"],
+             "b": lp["in_proj_b"]}, x_quant[0], x_quant[1], out_dtype)
+    elif "in_proj_w_q" in lp:
+        b, l, d = x.shape
         qkv = _qlin({"w_q": lp["in_proj_w_q"], "w_s": lp["in_proj_w_s"],
                      "b": lp["in_proj_b"]}, x)            # (B, L, 3D)
     else:
+        b, l, d = x.shape
         qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]      # (B, L, 3D)
+    head_dim = d // num_heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     # Transpose-free head split: contract via einsum over (B, L, H, Dh)
@@ -84,11 +93,21 @@ def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int,
 
 def _vit_layer(x: jnp.ndarray, lp: dict, num_heads: int,
                key_bias=None) -> jnp.ndarray:
-    # Pre-norm residual blocks (norm_first=True).
-    h = layer_norm(x, lp["ln1"]["w"], lp["ln1"]["b"], eps=_VIT_LN_EPS)
-    x = x + _vit_attention(h, lp, num_heads, key_bias)
-    h = layer_norm(x, lp["ln2"]["w"], lp["ln2"]["b"], eps=_VIT_LN_EPS)
-    h = gelu(_qlin(lp["linear1"], h))
+    # Pre-norm residual blocks (norm_first=True). On the int8-serving path
+    # (APERTIS_QUANT_VIT=1) each pre-norm fuses with the activation
+    # quantize its projection consumes, exactly like the decoder layers
+    # (models/apertis._maybe_ln_quant).
+    from apertis_llm_tpu.models.apertis import _linear_pre_q, _maybe_ln_quant
+
+    in_proj = ({"w_q": lp["in_proj_w_q"]} if "in_proj_w_q" in lp else None)
+    h, xq = _maybe_ln_quant(lp["ln1"], x, _VIT_LN_EPS, (in_proj,))
+    x = x + _vit_attention(h, lp, num_heads, key_bias,
+                           x_quant=xq, out_dtype=x.dtype)
+    h, xq = _maybe_ln_quant(lp["ln2"], x, _VIT_LN_EPS, (lp["linear1"],))
+    if xq is not None:
+        h = gelu(_linear_pre_q(lp["linear1"], xq[0], xq[1], x.dtype))
+    else:
+        h = gelu(_qlin(lp["linear1"], h))
     h = _qlin(lp["linear2"], h)
     return x + h
 

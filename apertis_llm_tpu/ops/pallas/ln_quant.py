@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_M = 256
 
 
-def _kernel(eps, is_rms, has_bias, x_ref, w_ref, b_ref, q_ref, s_ref):
+def _kernel(eps, is_rms, has_bias, act_dtype, x_ref, w_ref, b_ref,
+            q_ref, s_ref):
     x = x_ref[:].astype(jnp.float32)                  # (BM, H)
     if is_rms:
         # RMSNorm with the reference's eps-on-RMS quirk and the zero-row
@@ -47,9 +48,9 @@ def _kernel(eps, is_rms, has_bias, x_ref, w_ref, b_ref, q_ref, s_ref):
     if has_bias:
         normed = normed + b_ref[0]
     # The unfused path casts the normed tensor to the activation dtype
-    # (bf16) before quantize_rows re-reads it in f32 — reproduce that
-    # rounding so fused and unfused agree bit-for-bit.
-    normed = normed.astype(jnp.bfloat16).astype(jnp.float32)
+    # before quantize_rows re-reads it in f32 — reproduce that rounding
+    # so fused and unfused agree bit-for-bit (a no-op for f32 models).
+    normed = normed.astype(act_dtype).astype(jnp.float32)
     absmax = jnp.max(jnp.abs(normed), axis=1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
     q_ref[:] = jnp.clip(jnp.round(normed / scale), -127, 127).astype(jnp.int8)
@@ -67,7 +68,9 @@ def ln_quantize(
     """Returns ``(x_q int8, scale f32)`` with ``x_q * scale ~= norm(x)``.
 
     ``rms=True`` computes the reference-quirk RMSNorm (x / (rms + eps) * w),
-    else standard LayerNorm with affine ``w``/``b``."""
+    else standard LayerNorm with affine ``w``/``b``. The normed tensor is
+    rounded through ``x.dtype`` before quantizing, mirroring the unfused
+    norm -> quantize_rows composition."""
     lead = x.shape[:-1]
     h = x.shape[-1]
     x2 = x.reshape(-1, h)
@@ -81,7 +84,7 @@ def ln_quantize(
     b_in = (b if has_bias else jnp.zeros((h,), jnp.float32))
 
     q, s = pl.pallas_call(
-        functools.partial(_kernel, eps, rms, has_bias),
+        functools.partial(_kernel, eps, rms, has_bias, x.dtype),
         interpret=jax.default_backend() != "tpu",
         grid=(mp // block_m,),
         in_specs=[

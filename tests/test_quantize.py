@@ -317,3 +317,33 @@ def test_fused_ln_quant_matches_unfused_forward(swiglu, monkeypatch):
     agree = float(jnp.mean(
         (jnp.argmax(base, -1) == jnp.argmax(fused, -1)).astype(jnp.float32)))
     assert agree == 1.0
+
+
+def test_fused_ln_quant_vit_matches_unfused(monkeypatch):
+    """The ViT's pre-norms route through the same fused norm+quantize
+    kernel when the vision tower is int8 (APERTIS_QUANT_VIT) — encoder
+    outputs must match the unfused path."""
+    from apertis_llm_tpu.models.vit import vit_encode
+
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=1, num_attention_heads=4,
+                           intermediate_size=256, multimodal=True,
+                           image_size=32, vision_patch_size=8,
+                           vision_embed_dim=64, vision_layers=2,
+                           vision_heads=4,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024, quantize_vision=True)
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32)
+
+    monkeypatch.setenv("APERTIS_QUANT_MATMUL", "dyn")
+    monkeypatch.setenv("APERTIS_LN_QUANT", "0")
+    base = np.asarray(vit_encode(qparams["vision"], config, pixels),
+                      np.float32)
+    monkeypatch.setenv("APERTIS_LN_QUANT", "force")
+    fused = np.asarray(vit_encode(qparams["vision"], config, pixels),
+                       np.float32)
+    np.testing.assert_allclose(fused, base, rtol=0, atol=1e-4)
