@@ -446,14 +446,27 @@ def _ffn(
 ):
     eps = config.layer_norm_eps
     zero = jnp.zeros((), jnp.float32)
+    # Fused-LN serving path: run the FFN on (tokens, H) 2D shapes. With the
+    # (B, L) split present, XLA lays the GEMM1 epilogue chain out L-major
+    # ({2,0,1}) and pays a full relayout copy of the int8 hidden before
+    # GEMM2 (profiled 1.8 ms/layer at the 1.5B b256 prefill); 2D shapes
+    # admit only {1,0} and the copy disappears.
+    if x_quant is not None:
+        lead = x_quant[0].shape[:-1]
+        x_quant = (x_quant[0].reshape(-1, x_quant[0].shape[-1]),
+                   x_quant[1].reshape(-1, 1))
+
+        def unflatten(t):
+            return t.reshape(*lead, t.shape[-1])
     if config.use_swiglu:
         if x_quant is not None:
             x_q, x_s = x_quant
             h = (silu(_linear_pre_q(lp["w_gate"], x_q, x_s, out_dtype))
                  * _linear_pre_q(lp["w_up"], x_q, x_s, out_dtype))
+            out = unflatten(_linear(lp["w_down"], h))
         else:
             h = silu(_linear(lp["w_gate"], x)) * _linear(lp["w_up"], x)
-        out = _linear(lp["w_down"], h)
+            out = _linear(lp["w_down"], h)
         out = _dropout(rng, out, config.hidden_dropout_prob, training)
         return out, zero, zero
     if config.use_expert_system and config.num_experts > 0:
@@ -547,8 +560,9 @@ def _ffn(
     if x_quant is not None:
         x_q, x_s = x_quant
         h = act(_linear_pre_q(lp["w1"], x_q, x_s, out_dtype))
-    else:
-        h = act(_linear(lp["w1"], x))
+        h = _dropout(rng, h, config.hidden_dropout_prob, training)
+        return unflatten(_linear(lp["w2"], h)), zero, zero
+    h = act(_linear(lp["w1"], x))
     h = _dropout(rng, h, config.hidden_dropout_prob, training)
     return _linear(lp["w2"], h), zero, zero
 

@@ -55,39 +55,46 @@ def _qlin(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def _vit_attention(x: jnp.ndarray, lp: dict, num_heads: int,
                    key_bias=None, x_quant=None, out_dtype=None) -> jnp.ndarray:
+    """Self-attention over an L-FIRST (L, B, D) token stream.
+
+    The attention-output einsum naturally emits its q (token) axis major,
+    so with a (B, L, D) stream every residual add pays an L<->B relayout
+    inside the while carry (profiled ~4.3 ms/layer at b256). Running the
+    whole layer stack L-first makes XLA's preferred layout the row-major
+    one — the einsums below differ from the (B, L, D) form only in the
+    subscript order."""
     if x_quant is not None:
         from apertis_llm_tpu.models.apertis import _linear_pre_q
 
-        b, l, _ = x_quant[0].shape
+        l, b, _ = x_quant[0].shape
         d = lp["in_proj_w_q"].shape[0]
         qkv = _linear_pre_q(
             {"w_q": lp["in_proj_w_q"], "w_s": lp["in_proj_w_s"],
              "b": lp["in_proj_b"]}, x_quant[0], x_quant[1], out_dtype)
     elif "in_proj_w_q" in lp:
-        b, l, d = x.shape
+        l, b, d = x.shape
         qkv = _qlin({"w_q": lp["in_proj_w_q"], "w_s": lp["in_proj_w_s"],
-                     "b": lp["in_proj_b"]}, x)            # (B, L, 3D)
+                     "b": lp["in_proj_b"]}, x)            # (L, B, 3D)
     else:
-        b, l, d = x.shape
-        qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]      # (B, L, 3D)
+        l, b, d = x.shape
+        qkv = x @ lp["in_proj_w"] + lp["in_proj_b"]      # (L, B, 3D)
     head_dim = d // num_heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    # Transpose-free head split: contract via einsum over (B, L, H, Dh)
-    # directly — explicit (0, 2, 1, 3) transposes pushed XLA into an
-    # L-major while-carry layout with ~4 ms/layer relayout fusions at b256.
+    # Transpose-free head split: contract via einsum over (L, B, H, Dh)
+    # directly — explicit transposes pushed XLA into relayout fusions.
     def heads(t):
-        return t.reshape(b, l, num_heads, head_dim)
+        return t.reshape(l, b, num_heads, head_dim)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    scores = jnp.einsum("qbhd,kbhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * (head_dim ** -0.5)
     if key_bias is not None:
         scores = scores + key_bias                        # (L,) over keys
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    out = jnp.einsum("bhqk,kbhd->qbhd", probs, v,
                      preferred_element_type=jnp.float32).astype(v.dtype)
-    out = out.reshape(b, l, d)
+    out = out.reshape(l, b, d)
     return _qlin(lp["attn_out"], out)
 
 
@@ -148,10 +155,16 @@ def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -
         key_bias = jnp.where(jnp.arange(l + pad) < l, 0.0, -jnp.inf
                              ).astype(jnp.float32)
 
+    # The layer stack runs L-FIRST (see _vit_attention): one transpose in
+    # and out replaces a per-layer L<->B relayout of the residual stream
+    # that XLA otherwise folds into every add (profiled ~4.3 ms/layer,
+    # ~44% of the b256 encode).
+    x = x.transpose(1, 0, 2)
+
     def body(h, lp):
         return _vit_layer(h, lp, config.vision_heads, key_bias), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = x[:, :l]
+    x = x.transpose(1, 0, 2)[:, :l]
     return layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                       eps=_VIT_LN_EPS)

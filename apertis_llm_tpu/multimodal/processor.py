@@ -69,7 +69,9 @@ class MultimodalDataProcessor:
     def __call__(self, input_ids, attention_mask, pixel_values) -> Dict[str, Any]:
         vision_features = vit_encode(
             self.params["encoder"], self.config, jnp.asarray(pixel_values))
-        fused = _vit_layer(vision_features, self.params["cross_modal"], 8)
+        # _vit_layer runs L-first (models/vit.py); transpose in and out.
+        fused = _vit_layer(vision_features.transpose(1, 0, 2),
+                           self.params["cross_modal"], 8).transpose(1, 0, 2)
         proj = fused @ self.params["output_projection"]["w"] + \
             self.params["output_projection"]["b"]
         combined = layer_norm(proj, self.params["output_norm"]["w"],
