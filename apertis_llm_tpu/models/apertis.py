@@ -443,6 +443,7 @@ def _ffn(
     layer_idx=None,                      # int32 index into fat_stack
     x_quant: Optional[Tuple] = None,     # fused-LN (x_q, x_s) of the input
     out_dtype=None,
+    dense_stack: Optional[Params] = None,  # layer-stacked dense w1/w2 (int8)
 ):
     eps = config.layer_norm_eps
     zero = jnp.zeros((), jnp.float32)
@@ -556,6 +557,25 @@ def _ffn(
                 active_mask=active)
         return out.reshape(b, l, d), routing.lb_loss, routing.rz_loss
     # dense FFN: Linear -> act -> Dropout -> Linear
+    if dense_stack is not None and not training and x_quant is None:
+        # Fused decode path: the whole FFN (int8 GEMM1 -> act -> requantize
+        # -> int8 GEMM2) runs per intermediate tile in VMEM, each weight
+        # matrix streaming from HBM exactly once (ops/pallas/ffn_fused.py;
+        # hoisted + scalar-prefetch-indexed by decode_step, the
+        # moe_ffn.py lesson about dynamic-slice copies of pallas operands).
+        from apertis_llm_tpu.ops.pallas.ffn_fused import ffn_decode_fused
+        from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        xq, xs = quantize_rows(x2)
+        w1, w2 = dense_stack["w1"], dense_stack["w2"]
+        y = ffn_decode_fused(
+            xq, xs, w1["w_q"], w1["w_s"], w1["b"],
+            w2["w_q"], w2["w_s"], w2["b"],
+            layer_idx=layer_idx, out_dtype=x.dtype,
+            hidden_act=config.hidden_act)
+        return y.reshape(*lead, y.shape[-1]), zero, zero
     act = get_activation(config.hidden_act)
     if x_quant is not None:
         x_q, x_s = x_quant
@@ -972,6 +992,23 @@ def decode_step(
         layers["ffn"] = dict(layers["ffn"])
         layers["ffn"]["experts"] = {
             k: v for k, v in experts.items() if k != "fat"}
+    # Same hoist for the DENSE int8 FFN: the fused decode kernel
+    # (ops/pallas/ffn_fused.py) consumes the layer-stacked w1/w2 via a
+    # scalar-prefetched layer index instead of scan-sliced copies.
+    dense_stack = None
+    if (not config.use_swiglu
+            and not (config.use_expert_system and config.num_experts > 0)):
+        from apertis_llm_tpu.ops.pallas.ffn_fused import fused_eligible
+        from apertis_llm_tpu.parallel.context import current as _par_current
+
+        ffn_p = layers.get("ffn", {}) if isinstance(
+            layers.get("ffn"), dict) else {}
+        if (_par_current().mesh is None
+                and fused_eligible(ffn_p.get("w1"), ffn_p.get("w2"), b)):
+            dense_stack = {"w1": ffn_p["w1"], "w2": ffn_p["w2"]}
+            layers = dict(layers)
+            layers["ffn"] = {k: v for k, v in layers["ffn"].items()
+                             if k not in ("w1", "w2")}
 
     def body(h, xs):
         lp, layer_cache, li = xs
@@ -987,7 +1024,8 @@ def decode_step(
         h = h + attn_out
         normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
         ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
-                             rng=None, fat_stack=fat_stack, layer_idx=li)
+                             rng=None, fat_stack=fat_stack, layer_idx=li,
+                             dense_stack=dense_stack)
         h = h + ffn_out
         return h, new_layer_cache
 

@@ -164,7 +164,21 @@ def vit_encode(params: dict, config: ApertisConfig, pixel_values: jnp.ndarray) -
     def body(h, lp):
         return _vit_layer(h, lp, config.vision_heads, key_bias), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    # APERTIS_VIT_UNROLL=1 replaces the layer scan with statically indexed
+    # layers. Hypothesis was that freeing the scan-carry layout would drop
+    # the ~4.3 ms/layer residual-add/copy traffic; measured on v5e b256 it
+    # REGRESSES TTFT (1064-1084 ms vs 907-931 with the scan — XLA spreads
+    # even more async copies around the unrolled layers). Knob kept as the
+    # record of that experiment; numerics identical either way.
+    import os
+
+    if os.environ.get("APERTIS_VIT_UNROLL", "0") == "1":
+        n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+        for i in range(n_layers):
+            lp = jax.tree.map(lambda a: a[i], params["layers"])
+            x, _ = body(x, lp)
+    else:
+        x, _ = jax.lax.scan(body, x, params["layers"])
     x = x.transpose(1, 0, 2)[:, :l]
     return layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                       eps=_VIT_LN_EPS)

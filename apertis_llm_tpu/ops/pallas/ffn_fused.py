@@ -1,0 +1,177 @@
+"""Fused dense-FFN decode kernel (int8 serving hot path).
+
+At decode row counts the dense FFN is weight-read-bound, but the XLA
+lowering splits it into three passes with real intermediate traffic:
+GEMM1's fusion carries the gelu + row-absmax epilogue and writes the
+(S, I) hidden in bf16 (profiled 65.5 us/layer at the 1.5B b256 step —
+~55 % of the HBM rate its weight read implies), a quantize pass re-reads
+that hidden, and GEMM2 reads the int8 copy. This kernel runs the whole
+FFN per intermediate tile in VMEM:
+
+    int8 GEMM1 -> dequant +b1 -> act -> requantize -> int8 GEMM2 -> acc
+
+so each weight matrix streams from HBM exactly once and the hidden never
+leaves VMEM — the dense-model counterpart of the MoE decode kernel
+(ops/pallas/moe_ffn.expert_ffn_fat), with per-(row, tile) hidden scales
+folded into the accumulator.
+
+Weights arrive LAYER-STACKED (L, ...) with the layer selected by a
+scalar-prefetched index: inside the decode ``lax.scan`` XLA cannot fuse a
+dynamic-slice of the stack into a pallas operand and would materialise a
+full copy of both matrices every layer step (the moe_ffn.py lesson);
+prefetching the index DMAs tiles straight from the resident stack.
+
+Reference behavior being accelerated: the eval-mode dense FFN
+(reference: src/model/core.py:407-457) under int8 serving quantization.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from apertis_llm_tpu.ops.pallas.moe_ffn import kernel_activation
+
+
+def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
+            w2q_ref, w2s_ref, b2_ref, out_ref, acc_ref):
+    ni = pl.program_id(0)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[:]                                    # (S, H) int8 resident
+    acc1 = jax.lax.dot_general(
+        xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (S, BN)
+    h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
+    h = act_fn(h)
+
+    # Requantize per (row, tile): finer granularity than the XLA path's
+    # per-row scales, folded into the f32 accumulator.
+    absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+
+    acc2 = jax.lax.dot_general(
+        hq, w2q_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (S, H)
+    acc_ref[:] += acc2.astype(jnp.float32) * hs
+
+    @pl.when(ni == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * w2s_ref[0] + b2_ref[0]).astype(out_ref.dtype)
+
+
+def _pick_block_n(i: int, target: int) -> int:
+    """Largest 128-multiple divisor of ``i`` that is <= target."""
+    bn = min(target, i)
+    while bn >= 128:
+        if i % bn == 0 and bn % 128 == 0:
+            return bn
+        bn -= 128
+    return 0
+
+
+def ffn_decode_fused(
+    xq: jnp.ndarray,      # (S, H) int8 per-row-quantized input
+    xs: jnp.ndarray,      # (S, 1) float32 activation scales
+    w1_q: jnp.ndarray,    # (H, I) or layer-stacked (L, H, I) int8
+    w1_s: jnp.ndarray,    # (1, I) / (L, 1, I) float32
+    b1: jnp.ndarray,      # (I,) / (L, I)
+    w2_q: jnp.ndarray,    # (I, H) / (L, I, H) int8
+    w2_s: jnp.ndarray,    # (1, H) / (L, 1, H) float32
+    b2: jnp.ndarray,      # (H,) / (L, H)
+    layer_idx=None,       # required iff weights are layer-stacked
+    out_dtype=jnp.bfloat16,
+    hidden_act: str = "gelu",
+    block_n=None,
+):
+    """Whole-FFN output (S, H) = act(xq@w1 + b1) @ w2 + b2 with the hidden
+    tile resident in VMEM. Returns None-equivalent never: caller gates
+    eligibility via :func:`fused_eligible`."""
+    if block_n is None:
+        block_n = int(os.environ.get("APERTIS_FFN_FUSED_BN", "1216"))
+    act_fn = kernel_activation(hidden_act)
+    s, h = xq.shape
+    if w1_q.ndim == 2:
+        w1_q, w2_q = w1_q[None], w2_q[None]
+        w1_s, b1, w2_s, b2 = w1_s[None], b1[None], w2_s[None], b2[None]
+        layer_idx = 0
+    nl, _, i = w1_q.shape
+    bn = _pick_block_n(i, block_n)
+    sp = -(-s // 32) * 32                              # int8 sublane multiple
+    if sp != s:
+        xq = jnp.pad(xq, ((0, sp - s), (0, 0)))
+        xs = jnp.pad(xs, ((0, sp - s), (0, 0)))
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(i // bn,),
+        in_specs=[
+            pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, 1), lambda ni, li: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda ni, li: (li[0], ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((sp, h), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, act_fn),
+        interpret=jax.default_backend() != "tpu",
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lidx, xq, xs,
+      w1_q, w1_s.reshape(nl, 1, i).astype(jnp.float32),
+      b1.reshape(nl, 1, i).astype(jnp.float32),
+      w2_q, w2_s.reshape(nl, 1, h).astype(jnp.float32),
+      b2.reshape(nl, 1, h).astype(jnp.float32))
+    return out[:s]
+
+
+def fused_eligible(w1: dict, w2: dict, rows: int) -> bool:
+    """Static dispatch gate for the fused decode FFN: int8-quantized dense
+    weights, decode-scale row counts (the prefill path is compute-bound and
+    XLA's int8 pipeline wins there), tileable intermediate width."""
+    mode = os.environ.get("APERTIS_FFN_FUSED", "auto")
+    if mode == "0":
+        return False
+    if not (isinstance(w1, dict) and isinstance(w2, dict)
+            and "w_q" in w1 and "w_q" in w2 and "b" in w1 and "b" in w2):
+        return False
+    i = w1["w_q"].shape[-1]
+    h = w1["w_q"].shape[-2]
+    if h % 128 != 0 or _pick_block_n(
+            i, int(os.environ.get("APERTIS_FFN_FUSED_BN", "1216"))) == 0:
+        return False
+    if mode == "force":
+        return True
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and rows <= int(os.environ.get(
+        "APERTIS_FFN_FUSED_MAX_ROWS", "1024"))
