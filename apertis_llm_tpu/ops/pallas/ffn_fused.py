@@ -50,7 +50,11 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
     acc1 = jax.lax.dot_general(
         xq, w1q_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)             # (S, BN)
-    h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
+    # Biases arrive in their native (bf16) dtype and are cast here in VMEM:
+    # an .astype on the host side would materialise a full-stack f32 copy
+    # INSIDE the decode layer scan (profiled 21.8 us x 2/layer/step).
+    h = (acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0]
+         + b1_ref[0].astype(jnp.float32))
     h = act_fn(h)
 
     # Requantize per (row, tile): finer granularity than the XLA path's
@@ -66,14 +70,15 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
 
     @pl.when(ni == pl.num_programs(0) - 1)
     def _():
-        out_ref[:] = (acc_ref[:] * w2s_ref[0] + b2_ref[0]).astype(out_ref.dtype)
+        out_ref[:] = (acc_ref[:] * w2s_ref[0]
+                      + b2_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
 def _pick_block_n(i: int, target: int) -> int:
     """Largest 128-multiple divisor of ``i`` that is <= target."""
-    bn = min(target, i)
+    bn = (min(target, i) // 128) * 128   # align the start DOWN to 128
     while bn >= 128:
-        if i % bn == 0 and bn % 128 == 0:
+        if i % bn == 0:
             return bn
         bn -= 128
     return 0
@@ -145,10 +150,10 @@ def ffn_decode_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(lidx, xq, xs,
-      w1_q, w1_s.reshape(nl, 1, i).astype(jnp.float32),
-      b1.reshape(nl, 1, i).astype(jnp.float32),
-      w2_q, w2_s.reshape(nl, 1, h).astype(jnp.float32),
-      b2.reshape(nl, 1, h).astype(jnp.float32))
+      w1_q, w1_s.reshape(nl, 1, i),
+      b1.reshape(nl, 1, i),
+      w2_q, w2_s.reshape(nl, 1, h),
+      b2.reshape(nl, 1, h))
     return out[:s]
 
 

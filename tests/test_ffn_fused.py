@@ -97,6 +97,12 @@ def test_decode_step_routes_through_kernel():
     logits_plain, _ = model_lib.decode_step(qparams, config, cache, toks, t)
     os.environ["APERTIS_FFN_FUSED"] = "force"
     try:
+        # The route must actually be taken: the jaxpr carries a pallas_call
+        # (numerics alone can't distinguish routing from fallback).
+        jaxpr = jax.make_jaxpr(
+            lambda p, c: model_lib.decode_step(p, config, c, toks, t)
+        )(qparams, cache)
+        assert "pallas_call" in str(jaxpr), "fused FFN kernel not routed"
         logits_fused, _ = model_lib.decode_step(qparams, config, cache, toks, t)
     finally:
         del os.environ["APERTIS_FFN_FUSED"]
