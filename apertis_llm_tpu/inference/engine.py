@@ -225,6 +225,15 @@ class InferenceEngine:
             self.params = attach_fused_decode_params(
                 self.params,
                 mode="fat" if moe_mode in ("fat", "fatk") else "kernel")
+        if (config.attention_type == "selective_ssm" and mesh is None
+                and os.environ.get("APERTIS_SSM_STEP", "auto") != "0"):
+            # Fused SSM decode-step weight pack (models/ssm_fuse.py): a
+            # no-op unless the tree carries the quantized/RMS layout the
+            # kernel needs; dispatch itself is gated per trace
+            # (ops/pallas/ssm_step.ssm_step_fused_enabled).
+            from apertis_llm_tpu.models.ssm_fuse import attach_fused_ssm_params
+
+            self.params = attach_fused_ssm_params(self.params, config)
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):

@@ -992,6 +992,24 @@ def decode_step(
         layers["ffn"] = dict(layers["ffn"])
         layers["ffn"]["experts"] = {
             k: v for k, v in experts.items() if k != "fat"}
+    # Fused SSM mixer step (ops/pallas/ssm_step.py): the attached weight
+    # pack (models/ssm_fuse.py, engine-built) is ALWAYS popped from the
+    # scanned tree — its leaves would otherwise be sliced per layer — and
+    # consumed via a scalar-prefetched layer index when the dispatch gate
+    # opens.
+    ssm_stack = None
+    ssm_rms = False
+    attn_p = layers.get("attn", {}) if isinstance(
+        layers.get("attn"), dict) else {}
+    if "fused" in attn_p:
+        from apertis_llm_tpu.ops.pallas.ssm_step import ssm_step_fused_enabled
+        from apertis_llm_tpu.parallel.context import current as _par_cur
+
+        layers = dict(layers)
+        layers["attn"] = {k: v for k, v in attn_p.items() if k != "fused"}
+        if is_ssm and _par_cur().mesh is None and ssm_step_fused_enabled(b):
+            ssm_stack = attn_p["fused"]
+            ssm_rms = "scale" in attn_p.get("pre_norm", {})
     # Same hoist for the DENSE int8 FFN: the fused decode kernel
     # (ops/pallas/ffn_fused.py) consumes the layer-stacked w1/w2 via a
     # scalar-prefetched layer index instead of scan-sliced copies.
@@ -1012,16 +1030,33 @@ def decode_step(
 
     def body(h, xs):
         lp, layer_cache, li = xs
-        normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
-        if is_ssm:
-            attn_out, new_layer_cache = _ssm_decode_step(
-                lp["attn"], config, normed[:, 0, :], layer_cache)
-            attn_out = attn_out[:, None, :]
+        if ssm_stack is not None:
+            # Entire mixer (pre-norm .. out_proj + residual) in one kernel.
+            from apertis_llm_tpu.ops.pallas.ssm_step import (
+                ssm_decode_step_fused)
+
+            ssm2 = layer_cache["ssm"].reshape(b, -1)
+            h2, xp_new, ssm_new = ssm_decode_step_fused(
+                h[:, 0, :], layer_cache["conv"], ssm2, ssm_stack, li, eps,
+                ssm_rms)
+            h = h2[:, None, :]
+            new_layer_cache = {
+                "conv": jnp.concatenate(
+                    [layer_cache["conv"][:, 1:, :], xp_new[:, None, :]],
+                    axis=1),
+                "ssm": ssm_new.reshape(layer_cache["ssm"].shape),
+            }
         else:
-            attn_out, new_layer_cache = _mha_decode_step(
-                lp["attn"], config, normed, layer_cache, pos, valid,
-                cos_t, sin_t, t)
-        h = h + attn_out
+            normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
+            if is_ssm:
+                attn_out, new_layer_cache = _ssm_decode_step(
+                    lp["attn"], config, normed[:, 0, :], layer_cache)
+                attn_out = attn_out[:, None, :]
+            else:
+                attn_out, new_layer_cache = _mha_decode_step(
+                    lp["attn"], config, normed, layer_cache, pos, valid,
+                    cos_t, sin_t, t)
+            h = h + attn_out
         normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
         ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
                              rng=None, fat_stack=fat_stack, layer_idx=li,

@@ -1,0 +1,92 @@
+"""Serving-time weight pack for the fused SSM decode-step kernel.
+
+Built once by the inference engine after quantization (the MoE analogue is
+models/moe_fuse.py): reorganises the layer-stacked SSM mixer weights into
+the shapes ops/pallas/ssm_step.py consumes —
+
+  * the x_param projection split into three stacks (dt / B / C) so the
+    kernel never lane-slices its fat output at 128-misaligned offsets,
+  * conv taps transposed to (L, K, C) so each tap is a lane row,
+  * ``-exp(A_log)`` pre-flattened to (L, 1, H*N),
+  * a (H, H*N) 0/1 head-expansion matrix (Mosaic has no lane gather).
+
+The pack is attached under ``params["layers"]["attn"]["fused"]`` and
+hoisted out of the scanned tree by decode_step; the full-sequence paths
+never read it (scan xs DCE drops it from prefill/training programs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def ssm_fusable(params: dict, config) -> bool:
+    """True iff the quantized serving tree carries everything the fused
+    decode-step kernel needs (RMS or LayerNorm pre-norm; int8
+    in/out/x_param; bf16 dt)."""
+    if config.attention_type != "selective_ssm":
+        return False
+    if config.ssm_conv_kernel != 4:
+        return False
+    attn = params.get("layers", {}).get("attn")
+    if not isinstance(attn, dict):
+        return False
+    for key in ("in_proj_x", "in_proj_z", "x_param_proj", "out_proj"):
+        sub = attn.get(key)
+        if not (isinstance(sub, dict) and "w_q" in sub):
+            return False
+    pre = attn.get("pre_norm", {})
+    has_norm = "scale" in pre or ("w" in pre and "b" in pre)
+    return (has_norm and "w" in attn.get("dt_proj", {})
+            and "w" in attn.get("conv", {}))
+
+
+def attach_fused_ssm_params(params: dict, config) -> dict:
+    """Return params with the fused decode pack attached (no-op when the
+    tree is not fusable)."""
+    if not ssm_fusable(params, config):
+        return params
+    attn = params["layers"]["attn"]
+    nl = attn["A_log"].shape[0]
+    heads, d_state = config.num_attention_heads, config.ssm_d_state
+    c = heads * d_state
+    r = config.ssm_dt_rank
+    xp_wq, xp_ws = attn["x_param_proj"]["w_q"], attn["x_param_proj"]["w_s"]
+
+    pre = attn["pre_norm"]
+    if "scale" in pre:
+        norm_w, norm_b = pre["scale"], jnp.zeros_like(pre["scale"])
+    else:
+        norm_w, norm_b = pre["w"], pre["b"]
+    fused = {
+        "norm_w": norm_w[:, None, :],
+        "norm_b": norm_b[:, None, :],
+        "inx_wq": attn["in_proj_x"]["w_q"],
+        "inx_ws": attn["in_proj_x"]["w_s"],
+        "inz_wq": attn["in_proj_z"]["w_q"],
+        "inz_ws": attn["in_proj_z"]["w_s"],
+        "convw": jnp.transpose(attn["conv"]["w"], (0, 2, 1)),   # (L, K, C)
+        "convb": attn["conv"]["b"][:, None, :],
+        "xdt_wq": xp_wq[:, :, :r], "xdt_ws": xp_ws[:, :, :r],
+        "xb_wq": xp_wq[:, :, r:r + c], "xb_ws": xp_ws[:, :, r:r + c],
+        "xc_wq": xp_wq[:, :, r + c:], "xc_ws": xp_ws[:, :, r + c:],
+        "dt_w": attn["dt_proj"]["w"],
+        "dt_b": attn["dt_proj"]["b"][:, None, :],
+        "a_row": -jnp.exp(attn["A_log"].astype(jnp.float32)
+                          ).reshape(nl, 1, c),
+        "d_row": attn["D"][:, None, :],
+        "out_wq": attn["out_proj"]["w_q"],
+        "out_ws": attn["out_proj"]["w_s"],
+        # Layer-stacked though identical per layer: every leaf of the
+        # attached pack must carry the leading depth axis so the
+        # full-sequence scan over params["layers"] still traces (the
+        # prefill body never reads it; XLA DCEs the slices).
+        "expand": jnp.broadcast_to(
+            jnp.repeat(jnp.eye(heads, dtype=jnp.float32), d_state, axis=1),
+            (nl, heads, c)),                                    # (L, H, C)
+    }
+    params = dict(params)
+    params["layers"] = dict(params["layers"])
+    params["layers"]["attn"] = dict(attn)
+    params["layers"]["attn"]["fused"] = fused
+    return params
