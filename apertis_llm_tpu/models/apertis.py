@@ -985,7 +985,10 @@ def decode_step(
     fat_stack = None
     experts = layers.get("ffn", {}).get("experts", {}) if isinstance(
         layers.get("ffn"), dict) else {}
-    if ("fat" in experts and _on_tpu()
+    if ("fat" in experts
+            and (_on_tpu()
+                 # interpret-mode testing of the fused-ssm MoE chain on CPU
+                 or os.environ.get("APERTIS_SSM_STEP") == "force")
             and os.environ.get("APERTIS_MOE_FUSED", "fatk") == "fatk"):
         fat_stack = experts["fat"]
         layers = dict(layers)
@@ -1010,6 +1013,16 @@ def decode_step(
         if is_ssm and _par_cur().mesh is None and ssm_step_fused_enabled(b):
             ssm_stack = attn_p["fused"]
             ssm_rms = "scale" in attn_p.get("pre_norm", {})
+    # FFN epilogue folding (pre-norm + quantize [+ router] inside the SSM
+    # kernel): "dense" feeds the fused dense-FFN kernel directly; "moe"
+    # feeds the fat MoE kernel with in-kernel top-2 combine weights.
+    ffn_mode = "none"
+    if ssm_stack is not None and "fnorm_w" in ssm_stack:
+        if (config.use_expert_system and config.num_experts > 0
+                and fat_stack is not None and "router_w" in ssm_stack
+                and config.experts_per_token == 2
+                and b <= config.moe_dense_threshold_tokens):
+            ffn_mode = "moe"
     # Same hoist for the DENSE int8 FFN: the fused decode kernel
     # (ops/pallas/ffn_fused.py) consumes the layer-stacked w1/w2 via a
     # scalar-prefetched layer index instead of scan-sliced copies.
@@ -1027,25 +1040,54 @@ def decode_step(
             layers = dict(layers)
             layers["ffn"] = {k: v for k, v in layers["ffn"].items()
                              if k not in ("w1", "w2")}
+            if ssm_stack is not None and "fnorm_w" in ssm_stack:
+                ffn_mode = "dense"
 
     def body(h, xs):
         lp, layer_cache, li = xs
         if ssm_stack is not None:
-            # Entire mixer (pre-norm .. out_proj + residual) in one kernel.
+            # Entire mixer (pre-norm .. out_proj + residual) in one kernel;
+            # with ffn_mode set it also emits the FFN's quantized input
+            # (+ MoE combine weights) so the FFN kernel chains directly.
             from apertis_llm_tpu.ops.pallas.ssm_step import (
                 ssm_decode_step_fused)
 
             ssm2 = layer_cache["ssm"].reshape(b, -1)
-            h2, xp_new, ssm_new = ssm_decode_step_fused(
+            outs = ssm_decode_step_fused(
                 h[:, 0, :], layer_cache["conv"], ssm2, ssm_stack, li, eps,
-                ssm_rms)
-            h = h2[:, None, :]
+                ssm_rms, ffn_mode=ffn_mode)
+            h2, xp_new, ssm_new = outs[:3]
             new_layer_cache = {
                 "conv": jnp.concatenate(
                     [layer_cache["conv"][:, 1:, :], xp_new[:, None, :]],
                     axis=1),
                 "ssm": ssm_new.reshape(layer_cache["ssm"].shape),
             }
+            if ffn_mode == "dense":
+                from apertis_llm_tpu.ops.pallas.ffn_fused import (
+                    ffn_decode_fused)
+
+                xq2, xs2 = outs[3], outs[4]
+                w1, w2 = dense_stack["w1"], dense_stack["w2"]
+                y = ffn_decode_fused(
+                    xq2, xs2, w1["w_q"], w1["w_s"], w1["b"],
+                    w2["w_q"], w2["w_s"], w2["b"],
+                    layer_idx=li, out_dtype=h2.dtype,
+                    hidden_act=config.hidden_act)
+                return (h2 + y)[:, None, :], new_layer_cache
+            if ffn_mode == "moe":
+                from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
+
+                xq2, xs2, comb = outs[3], outs[4], outs[5]
+                y = expert_ffn_fat(
+                    xq2, xs2, comb,
+                    fat_stack["w1t_q"], fat_stack["w1t_s"], fat_stack["b1t"],
+                    fat_stack["w2t_q"], fat_stack["w2t_s"],
+                    config.num_experts, layer_idx=li,
+                    out_dtype=jnp.float32, hidden_act=config.hidden_act)
+                y = y + comb @ lp["ffn"]["experts"]["b2"].astype(jnp.float32)
+                return (h2 + y.astype(h2.dtype))[:, None, :], new_layer_cache
+            h = h2[:, None, :]
         else:
             normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
             if is_ssm:

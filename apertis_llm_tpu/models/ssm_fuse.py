@@ -85,6 +85,26 @@ def attach_fused_ssm_params(params: dict, config) -> dict:
             jnp.repeat(jnp.eye(heads, dtype=jnp.float32), d_state, axis=1),
             (nl, heads, c)),                                    # (L, H, C)
     }
+    # FFN-side epilogue tensors (optional): the kernel can also emit the
+    # FFN pre-norm + per-row int8 quantize of its output — and, for MoE,
+    # the router's top-2 combine weights — removing the remaining XLA glue
+    # between the mixer and FFN kernels on the decode path.
+    ffn = params["layers"].get("ffn")
+    if isinstance(ffn, dict) and isinstance(ffn.get("pre_norm"), dict):
+        pre2 = ffn["pre_norm"]
+        if "scale" in pre2:
+            f_w, f_b = pre2["scale"], jnp.zeros_like(pre2["scale"])
+        else:
+            f_w, f_b = pre2["w"], pre2["b"]
+        fused["fnorm_w"] = f_w[:, None, :]
+        fused["fnorm_b"] = f_b[:, None, :]
+        router, rln = ffn.get("router"), ffn.get("router_ln")
+        if (isinstance(router, dict) and "w" in router
+                and isinstance(rln, dict) and "w" in rln):
+            fused["rln_w"] = rln["w"][:, None, :]
+            fused["rln_b"] = rln["b"][:, None, :]
+            fused["router_w"] = router["w"]
+            fused["router_b"] = router["b"][:, None, :]
     params = dict(params)
     params["layers"] = dict(params["layers"])
     params["layers"]["attn"] = dict(attn)

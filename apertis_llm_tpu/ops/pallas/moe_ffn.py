@@ -158,7 +158,10 @@ def expert_ffn_fat(
     import os
 
     if block_n is None:
-        block_n = int(os.environ.get("APERTIS_MOE_FATK_BN", "1408"))
+        # 2816 (one whole expert per tile at the 1.5B-MoE shapes) measured
+        # 91.3 vs 93.9 us/layer against 1408 on v5e; the bf16-GEMM2 variant
+        # (APERTIS_MOE_FATK_BF16DOT2=1) measured 110 us — int8 requant stays.
+        block_n = int(os.environ.get("APERTIS_MOE_FATK_BN", "2816"))
     if bf16_dot2 is None:
         bf16_dot2 = os.environ.get("APERTIS_MOE_FATK_BF16DOT2", "0") == "1"
     act_fn = kernel_activation(hidden_act)

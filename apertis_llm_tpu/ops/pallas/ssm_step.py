@@ -54,32 +54,49 @@ def _softplus(x):
     return jnp.where(x > 20.0, x, jnp.log(1.0 + jnp.exp(safe)))
 
 
-def _kernel(eps, rms, lidx_ref,
-            h_ref, s0_ref, s1_ref, s2_ref, ssm_ref, expand_ref,
-            normw_ref, normb_ref, inx_wq_ref, inx_ws_ref,
-            inz_wq_ref, inz_ws_ref,
-            convw_ref, convb_ref,
-            xdt_wq_ref, xdt_ws_ref, xb_wq_ref, xb_ws_ref, xc_wq_ref,
-            xc_ws_ref, dtw_ref, dtb_ref, a_ref, d_ref,
-            out_wq_ref, out_ws_ref,
-            hout_ref, xpout_ref, ssmout_ref):
-    x = h_ref[:].astype(jnp.float32)                       # (BM, D)
-
+def _norm(x, eps, rms, w_ref, b_ref):
+    """Pre-norm in f32: RMS (eps-on-RMS, zero-row-safe) or torch LayerNorm
+    (zero-variance-safe) — the ops/norms.py semantics."""
     if rms:
-        # RMS pre-norm: eps-on-RMS, zero-row-safe inverse (ops/norms.py)
         ss = jnp.sum(x * x, axis=1, keepdims=True)
         r = jnp.where(ss > 0, jnp.sqrt(jnp.where(ss > 0, ss, 1.0)), 0.0)
         r = r * (x.shape[1] ** -0.5)
         inv = jnp.where(ss > 0, 1.0 / (r + eps), 0.0)
-        nrm = x * inv * normw_ref[0].astype(jnp.float32)
-    else:
-        # torch-semantics LayerNorm with the zero-variance-safe inverse
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        cen = x - mean
-        var = jnp.mean(cen * cen, axis=1, keepdims=True)
-        inv = jnp.where(var > 0, jax.lax.rsqrt(var + eps), 0.0)
-        nrm = (cen * inv * normw_ref[0].astype(jnp.float32)
-               + normb_ref[0].astype(jnp.float32))
+        return x * inv * w_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    cen = x - mean
+    var = jnp.mean(cen * cen, axis=1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + eps), 0.0)
+    return (cen * inv * w_ref[0].astype(jnp.float32)
+            + b_ref[0].astype(jnp.float32))
+
+
+def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
+    (h_ref, s0_ref, s1_ref, s2_ref, ssm_ref, expand_ref,
+     normw_ref, normb_ref, inx_wq_ref, inx_ws_ref,
+     inz_wq_ref, inz_ws_ref,
+     convw_ref, convb_ref,
+     xdt_wq_ref, xdt_ws_ref, xb_wq_ref, xb_ws_ref, xc_wq_ref,
+     xc_ws_ref, dtw_ref, dtb_ref, a_ref, d_ref,
+     out_wq_ref, out_ws_ref) = refs[:26]
+    refs = refs[26:]
+    if ffn_mode != "none":
+        fnw_ref, fnb_ref = refs[:2]
+        refs = refs[2:]
+    if ffn_mode == "moe":
+        rlnw_ref, rlnb_ref, rw_ref, rb_ref = refs[:4]
+        refs = refs[4:]
+    hout_ref, xpout_ref, ssmout_ref = refs[:3]
+    refs = refs[3:]
+    if ffn_mode != "none":
+        xqout_ref, xsout_ref = refs[:2]
+        refs = refs[2:]
+    if ffn_mode == "moe":
+        combout_ref = refs[0]
+
+    x = h_ref[:].astype(jnp.float32)                       # (BM, D)
+
+    nrm = _norm(x, eps, rms, normw_ref, normb_ref)
 
     nq, nscl = _quant_rows(nrm)
     x_proj = _idot(nq, inx_wq_ref, nscl, inx_ws_ref)       # (BM, C)
@@ -121,9 +138,57 @@ def _kernel(eps, rms, lidx_ref,
     gq, gscl = _quant_rows(g)
     out = _idot(gq, out_wq_ref, gscl, out_ws_ref)          # (BM, D)
 
-    hout_ref[:] = (x + out).astype(hout_ref.dtype)         # residual add
+    hsum = x + out                                         # residual add
+    hout_ref[:] = hsum.astype(hout_ref.dtype)
     xpout_ref[:] = xp_b
     ssmout_ref[:] = h_new
+
+    if ffn_mode == "none":
+        return
+    # ---- fused FFN-side epilogue: pre-norm (+ router) + quantize --------
+    # n2 is rounded through bf16 first so the quantized activations match
+    # the XLA path, which quantizes the bf16 output of _apply_norm.
+    n2 = _norm(hsum, eps, rms, fnw_ref, fnb_ref)
+    n2 = n2.astype(jnp.bfloat16).astype(jnp.float32)
+    if ffn_mode == "dense":
+        q2, s2 = _quant_rows(n2)
+        xqout_ref[:] = q2
+        xsout_ref[:] = s2
+        return
+    # MoE: the per-expert LayerNorm affine is folded into W1
+    # (models/moe_fuse.py), so the expert input is the CENTERED/UNIT-VAR
+    # form of n2 with the inverse folded into the row scales — exactly
+    # ops/moe.moe_dense_fat_kernel's preparation.
+    mean2 = jnp.mean(n2, axis=1, keepdims=True)
+    cen2 = n2 - mean2
+    var2 = jnp.mean(cen2 * cen2, axis=1, keepdims=True)
+    inv2 = jnp.where(var2 > 0, jax.lax.rsqrt(var2 + eps), 0.0)
+    q2, s2 = _quant_rows(cen2)
+    xqout_ref[:] = q2
+    xsout_ref[:] = s2 * inv2
+    # Router (eval mode, top-2): LayerNorm -> f32 logits -> softmax ->
+    # two first-index-wins argmax passes -> renormalised one-hot combine —
+    # ops/moe.route + _top_k_gates + _combine_weights, in VMEM.
+    rn = _norm(n2, eps, False, rlnw_ref, rlnb_ref)
+    logits = jax.lax.dot_general(
+        rn, rw_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + rb_ref[0].astype(jnp.float32)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e_l = jnp.exp(logits - m)
+    gates = e_l / jnp.sum(e_l, axis=1, keepdims=True)      # (BM, E)
+    lane = jax.lax.broadcasted_iota(jnp.int32, gates.shape, 1)
+    w1 = jnp.max(gates, axis=1, keepdims=True)
+    i1 = jnp.min(jnp.where(gates == w1, lane, num_experts),
+                 axis=1, keepdims=True)
+    is1 = lane == i1
+    g2 = jnp.where(is1, -jnp.inf, gates)
+    w2 = jnp.max(g2, axis=1, keepdims=True)
+    i2 = jnp.min(jnp.where(g2 == w2, lane, num_experts),
+                 axis=1, keepdims=True)
+    is2 = lane == i2
+    denom = w1 + w2 + 1e-6
+    combout_ref[:] = (jnp.where(is1, w1, 0.0)
+                      + jnp.where(is2, w2, 0.0)) / denom
 
 
 def ssm_decode_step_fused(
@@ -134,9 +199,13 @@ def ssm_decode_step_fused(
     layer_idx,
     eps: float,
     rms: bool,
+    ffn_mode: str = "none",  # "none" | "dense" | "moe": fold the FFN
+                             # pre-norm (+ router) + activation quantize in
 ):
-    """Returns ``(h_plus_mixer_out, new_x_proj, new_ssm_state)``; the caller
-    rebuilds the conv window as ``[s1, s2, new_x_proj]``."""
+    """Returns ``(h_plus_mixer_out, new_x_proj, new_ssm_state)`` plus — per
+    ``ffn_mode`` — the quantized FFN input ``(x_q, x_s)`` and the MoE
+    ``combine`` weights; the caller rebuilds the conv window as
+    ``[s1, s2, new_x_proj]``."""
     b, d = h.shape
     c = ssm_state.shape[-1]
     nl = fused["inx_wq"].shape[0]
@@ -163,53 +232,75 @@ def ssm_decode_step_fused(
         return pl.BlockSpec((1,) + dims, lambda mi, li: (li[0],) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        rows(d),                         # h
+        rows(c), rows(c), rows(c),       # conv window planes
+        rows(c),                         # ssm state
+        stacked(heads, c),               # head-expansion 0/1 matrix
+        stacked(1, d), stacked(1, d),    # norm weight, bias
+        stacked(d, c), stacked(1, c),    # in_x
+        stacked(d, c), stacked(1, c),    # in_z
+        stacked(fused["convw"].shape[1], c),  # conv taps (K, C)
+        stacked(1, c),                   # conv bias
+        stacked(c, r), stacked(1, r),    # x_param dt segment
+        stacked(c, c), stacked(1, c),    # x_param B segment
+        stacked(c, c), stacked(1, c),    # x_param C segment
+        stacked(r, heads), stacked(1, heads),  # dt_proj w, b
+        stacked(1, c),                   # a_row = -exp(A_log)
+        stacked(1, c),                   # D
+        stacked(c, d), stacked(1, d),    # out_proj
+    ]
+    inputs = [lidx, h, s0, s1, s2, ssm_state, fused["expand"],
+              fused["norm_w"], fused["norm_b"],
+              fused["inx_wq"], fused["inx_ws"],
+              fused["inz_wq"], fused["inz_ws"],
+              fused["convw"], fused["convb"],
+              fused["xdt_wq"], fused["xdt_ws"],
+              fused["xb_wq"], fused["xb_ws"],
+              fused["xc_wq"], fused["xc_ws"],
+              fused["dt_w"], fused["dt_b"],
+              fused["a_row"], fused["d_row"],
+              fused["out_wq"], fused["out_ws"]]
+    out_specs = [rows(d), rows(c), rows(c)]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, d), h.dtype),
+        jax.ShapeDtypeStruct((bp, c), conv_state.dtype),
+        jax.ShapeDtypeStruct((bp, c), jnp.float32),
+    ]
+    num_experts = 0
+    if ffn_mode != "none":
+        in_specs += [stacked(1, d), stacked(1, d)]   # FFN pre-norm w, b
+        inputs += [fused["fnorm_w"], fused["fnorm_b"]]
+        out_specs += [rows(d), pl.BlockSpec((block_m, 1),
+                                            lambda mi, li: (mi, 0),
+                                            memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((bp, d), jnp.int8),
+                      jax.ShapeDtypeStruct((bp, 1), jnp.float32)]
+    if ffn_mode == "moe":
+        num_experts = fused["router_w"].shape[-1]
+        in_specs += [stacked(1, d), stacked(1, d),   # router LN w, b
+                     stacked(d, num_experts), stacked(1, num_experts)]
+        inputs += [fused["rln_w"], fused["rln_b"],
+                   fused["router_w"], fused["router_b"]]
+        out_specs += [rows(num_experts)]
+        out_shape += [jax.ShapeDtypeStruct((bp, num_experts), jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bp // block_m,),
-        in_specs=[
-            rows(d),                         # h
-            rows(c), rows(c), rows(c),       # conv window planes
-            rows(c),                         # ssm state
-            stacked(heads, c),               # head-expansion 0/1 matrix
-            stacked(1, d), stacked(1, d),    # norm weight, bias
-            stacked(d, c), stacked(1, c),    # in_x
-            stacked(d, c), stacked(1, c),    # in_z
-            stacked(fused["convw"].shape[1], c),  # conv taps (K, C)
-            stacked(1, c),                   # conv bias
-            stacked(c, r), stacked(1, r),    # x_param dt segment
-            stacked(c, c), stacked(1, c),    # x_param B segment
-            stacked(c, c), stacked(1, c),    # x_param C segment
-            stacked(r, heads), stacked(1, heads),  # dt_proj w, b
-            stacked(1, c),                   # a_row = -exp(A_log)
-            stacked(1, c),                   # D
-            stacked(c, d), stacked(1, d),    # out_proj
-        ],
-        out_specs=[rows(d), rows(c), rows(c)],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[],
     )
-    hout, xpout, ssmout = pl.pallas_call(
-        functools.partial(_kernel, eps, rms),
+    outs = pl.pallas_call(
+        functools.partial(_kernel, eps, rms, ffn_mode, num_experts),
         interpret=jax.default_backend() != "tpu",
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, d), h.dtype),
-            jax.ShapeDtypeStruct((bp, c), conv_state.dtype),
-            jax.ShapeDtypeStruct((bp, c), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(lidx, h, s0, s1, s2, ssm_state, fused["expand"],
-      fused["norm_w"], fused["norm_b"],
-      fused["inx_wq"], fused["inx_ws"],
-      fused["inz_wq"], fused["inz_ws"],
-      fused["convw"], fused["convb"],
-      fused["xdt_wq"], fused["xdt_ws"],
-      fused["xb_wq"], fused["xb_ws"],
-      fused["xc_wq"], fused["xc_ws"],
-      fused["dt_w"], fused["dt_b"],
-      fused["a_row"], fused["d_row"],
-      fused["out_wq"], fused["out_ws"])
-    return hout[:b], xpout[:b], ssmout[:b]
+    )(*inputs)
+    return tuple(o[:b] for o in outs)
 
 
 def ssm_step_fused_enabled(rows: int) -> bool:

@@ -88,6 +88,37 @@ def test_decode_step_fused_matches_plain():
     assert ds / ref < 3e-2, (ds, ref)
 
 
+def test_engine_moe_fused_router_matches_plain():
+    """MoE flagship decode with the in-kernel router + fat-kernel chain:
+    greedy tokens match the plain (XLA route + fat) path."""
+    config = ApertisConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        attention_type="selective_ssm", ssm_d_state=16,
+        use_expert_system=True, num_experts=4, experts_per_token=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=64)
+    params = quantize_params(init_params(jax.random.PRNGKey(2), config),
+                             min_size=0)
+    from apertis_llm_tpu.inference.engine import InferenceEngine
+
+    prompt = np.asarray([[1, 17, 93, 40]], np.int32)
+    os.environ["APERTIS_SSM_STEP"] = "0"
+    try:
+        plain = InferenceEngine(config, params).generate(
+            prompt, max_new_tokens=6, eos_token_id=(), do_sample=False,
+            rng=jax.random.PRNGKey(0))
+    finally:
+        os.environ["APERTIS_SSM_STEP"] = "force"
+    try:
+        fused = InferenceEngine(config, params).generate(
+            prompt, max_new_tokens=6, eos_token_id=(), do_sample=False,
+            rng=jax.random.PRNGKey(0))
+    finally:
+        del os.environ["APERTIS_SSM_STEP"]
+    assert plain.tolist() == fused.tolist()
+
+
 def test_engine_generate_fused_matches_plain():
     config, params = _setup(vocab=256)
     from apertis_llm_tpu.inference.engine import InferenceEngine
