@@ -225,6 +225,17 @@ class InferenceEngine:
             self.params = attach_fused_decode_params(
                 self.params,
                 mode="fat" if moe_mode in ("fat", "fatk") else "kernel")
+        if mesh is None and os.environ.get("APERTIS_QUANT_HEAD", "1") != "0":
+            # Serving int8 copy of the tied LM head (models/quantize.py):
+            # the decode step's single largest projection otherwise reads
+            # the full bf16 embedding table every token. Engine-local like
+            # the fused stacks below; skipped under a serving mesh, whose
+            # sharding specs describe the base tree.
+            from apertis_llm_tpu.models.quantize import (
+                quantize_tied_head, tree_is_quantized)
+
+            if tree_is_quantized(self.params):
+                self.params = quantize_tied_head(self.params)
         if (config.attention_type == "selective_ssm" and mesh is None
                 and os.environ.get("APERTIS_SSM_STEP", "auto") != "0"):
             # Fused SSM decode-step weight pack (models/ssm_fuse.py): a

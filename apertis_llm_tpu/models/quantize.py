@@ -89,6 +89,41 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
     return walk(params, "")
 
 
+def tree_is_quantized(params: Params) -> bool:
+    """True if any linear in the tree carries int8 serving weights."""
+    if not isinstance(params, dict):
+        return False
+    if any(k.endswith("_q") for k in params):
+        return True
+    return any(tree_is_quantized(v) for v in params.values()
+               if isinstance(v, dict))
+
+
+def quantize_tied_head(params: Params) -> Params:
+    """Attach a serving-side int8 copy of the tied LM head.
+
+    The quantizer keeps the embedding table high-precision (it is gathered
+    per token AND doubles as the tied head), which leaves the decode step's
+    single largest projection — (B, H) x (H, V) — reading the full bf16
+    table every token: profiled 253 us of the 2.46 ms b256 step at 1.5B
+    (V=32000, H=2432, 155 MB bf16). This attaches ``lm_head =
+    {"w_q": (H, V) int8, "w_s": (1, V)}`` consumed by ``_lm_head`` through
+    the standard ``_linear`` dispatch (dyn-int8 on the MXU at serving row
+    counts, weight-only dequant below), halving the head's weight read and
+    doubling its MXU rate, at ~+V*H bytes of HBM (the bf16 table stays for
+    embedding lookups). Greedy parity with the bf16 head is pinned in
+    tests/test_quantize.py; disable with APERTIS_QUANT_HEAD=0."""
+    if "lm_head" in params or "embed" not in params:
+        return params
+    emb = params["embed"].get("tok")
+    if emb is None or not jnp.issubdtype(emb.dtype, jnp.floating):
+        return params
+    q, s = quantize_weight(emb.T)
+    out = dict(params)
+    out["lm_head"] = {"w_q": q, "w_s": s}
+    return out
+
+
 def quantization_error(params: Params, quantized: Params) -> float:
     """Max relative reconstruction error across quantized weights."""
     worst = 0.0

@@ -347,3 +347,45 @@ def test_fused_ln_quant_vit_matches_unfused(monkeypatch):
     fused = np.asarray(vit_encode(qparams["vision"], config, pixels),
                        np.float32)
     np.testing.assert_allclose(fused, base, rtol=0, atol=1e-4)
+
+
+def test_quantized_tied_head_attaches_and_matches(monkeypatch):
+    """The engine attaches a serving int8 copy of the tied LM head for
+    quantized trees (APERTIS_QUANT_HEAD, default on): greedy decode must
+    match the bf16-head engine token-for-token on the test model, under
+    BOTH quant dispatch modes (weight-only = the CPU/small-row path;
+    dyn = the TPU serving path with activation rounding)."""
+    from apertis_llm_tpu.inference.engine import InferenceEngine
+    from apertis_llm_tpu.models.quantize import (
+        quantize_tied_head, tree_is_quantized)
+
+    config = ApertisConfig(vocab_size=128, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256,
+                           attention_type="selective_ssm", ssm_d_state=8,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_params(params, min_size=1024)
+    assert tree_is_quantized(qparams) and not tree_is_quantized(params)
+
+    prompt = np.random.default_rng(11).integers(4, 128, (2, 12)).astype(np.int32)
+    for mode in ("weightonly", "dyn"):
+        monkeypatch.setenv("APERTIS_QUANT_MATMUL", mode)
+        engine = InferenceEngine(config, qparams)
+        assert "lm_head" in engine.params
+        assert engine.params["lm_head"]["w_q"].dtype == jnp.int8
+        assert engine.params["lm_head"]["w_q"].shape == (128, 128)
+        out_q = engine.generate(prompt, max_new_tokens=12, eos_token_id=(),
+                                do_sample=False)
+        monkeypatch.setenv("APERTIS_QUANT_HEAD", "0")
+        plain = InferenceEngine(config, qparams)
+        assert "lm_head" not in plain.params
+        out_ref = plain.generate(prompt, max_new_tokens=12, eos_token_id=(),
+                                 do_sample=False)
+        monkeypatch.delenv("APERTIS_QUANT_HEAD")
+        np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_ref))
+
+    # bf16 trees never get a quantized head attached.
+    bf16_engine = InferenceEngine(config, params)
+    assert "lm_head" not in bf16_engine.params
