@@ -49,6 +49,26 @@ class GenerationParams(NamedTuple):
     pad_token_id: int = 0
 
 
+def _compiler_options() -> Optional[Dict[str, Any]]:
+    """Optional XLA build options for the engine's serving programs.
+
+    ``APERTIS_COMPILE_EFFORT=<float>`` maps to the TPU compiler's
+    ``exec_time_optimization_effort`` (0.0 = default; negative trades
+    optimisation time for compile time). ``APERTIS_COMPILE_LHS=0`` disables
+    the latency-hiding scheduler. Bring-up knobs: the b256 image+text
+    first-token program spends minutes in prefill-side XLA optimisation
+    (docs/README.md "Serving bring-up"); measured effect of each knob is
+    recorded there.
+    """
+    opts: Dict[str, Any] = {}
+    effort = os.environ.get("APERTIS_COMPILE_EFFORT")
+    if effort:
+        opts["exec_time_optimization_effort"] = float(effort)
+    if os.environ.get("APERTIS_COMPILE_LHS") == "0":
+        opts["xla_tpu_enable_latency_hiding_scheduler"] = False
+    return opts or None
+
+
 def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
     """Smallest static prompt length >= n.
 
@@ -266,7 +286,8 @@ class InferenceEngine:
         key = (gen, lp, batch, has_image)
         fn = self._compiled.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(_generate_impl, config=self.config, gen=gen))
+            fn = jax.jit(functools.partial(_generate_impl, config=self.config, gen=gen),
+                         compiler_options=_compiler_options())
             self._compiled[key] = fn
         return fn
 
@@ -427,7 +448,7 @@ class InferenceEngine:
                                          pixel_values=pixel_values,
                                          logit_positions=last_idx)
 
-            fn = jax.jit(run)
+            fn = jax.jit(run, compiler_options=_compiler_options())
             self._compiled[key] = fn
         return fn
 
@@ -448,7 +469,7 @@ class InferenceEngine:
                     positions=jnp.asarray(position, jnp.int32)[None])
                 return logits, cache, mask_row
 
-            fn = jax.jit(run)
+            fn = jax.jit(run, compiler_options=_compiler_options())
             self._compiled[key] = fn
         return fn
 

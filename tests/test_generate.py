@@ -241,3 +241,35 @@ def test_decode_unroll_parity(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(cache1),
                     jax.tree_util.tree_leaves(cache3)):
         assert jnp.array_equal(a, b)
+
+
+def test_compile_effort_knob_parses_and_preserves_tokens(monkeypatch):
+    """APERTIS_COMPILE_EFFORT / APERTIS_COMPILE_LHS feed XLA build options
+    into the engine's serving programs (bring-up knobs — docs/README.md
+    "Serving bring-up"). Effort is a scheduling/optimisation trade: greedy
+    tokens must be unchanged. The TPU-only LHS flag is parse-checked."""
+    from apertis_llm_tpu.inference.engine import (InferenceEngine,
+                                                  _compiler_options)
+    from apertis_llm_tpu.models.params import init_params
+
+    assert _compiler_options() is None
+    monkeypatch.setenv("APERTIS_COMPILE_EFFORT", "-1.0")
+    monkeypatch.setenv("APERTIS_COMPILE_LHS", "0")
+    assert _compiler_options() == {
+        "exec_time_optimization_effort": -1.0,
+        "xla_tpu_enable_latency_hiding_scheduler": False,
+    }
+    monkeypatch.delenv("APERTIS_COMPILE_LHS")  # TPU-only option
+
+    config = ApertisConfig.from_dict(dict(
+        BASE, attention_type="selective_ssm", ssm_d_state=8))
+    params = init_params(jax.random.PRNGKey(0), config)
+    prompt = np.random.default_rng(3).integers(
+        4, BASE["vocab_size"], (2, 9)).astype(np.int32)
+    out_effort = InferenceEngine(config, params).generate(
+        prompt, max_new_tokens=8, eos_token_id=(), do_sample=False)
+    monkeypatch.delenv("APERTIS_COMPILE_EFFORT")
+    out_default = InferenceEngine(config, params).generate(
+        prompt, max_new_tokens=8, eos_token_id=(), do_sample=False)
+    np.testing.assert_array_equal(np.asarray(out_effort),
+                                  np.asarray(out_default))
