@@ -2,8 +2,21 @@
 
 The reference's ``generate`` is a Python loop with per-step host round-trips
 (reference: src/model/core.py:1520-1644). Here the ENTIRE generation — prefill,
-decode loop, sampling, stop handling — compiles into one XLA program driven by
-``lax.while_loop``, so per-token cost is one device step with no host sync.
+decode loop, sampling, stop handling — runs on device with no per-token host
+sync. Two program layouts:
+
+* **split** (default for selective-SSM): a prefill+first-token program and a
+  decode-loop program whose generation length is a dynamic scalar — the
+  prefill graph (the expensive compile) builds ONCE per (bucket, batch,
+  sampling mode) and one decode program serves every ``max_new_tokens`` up
+  to ``config.decode_max_length``; a pure-TTFT call never builds the decode
+  program at all. ``APERTIS_ENGINE_SPLIT=0`` reverts to the monolith.
+* **monolithic** (MHA models, or opt-out): the whole generation in one XLA
+  program driven by ``lax.while_loop``, exact-sized buffers per
+  ``max_new_tokens`` (an MHA decode step reads its whole KV cache, so
+  capacity-sized buffers would cost real attention time).
+
+Both are token-exact with each other (pinned in tests/test_engine_split.py).
 
 Faithful semantics (eval mode):
   * finished rows emit ``pad_token_id`` and stop growing the attention mask,
@@ -49,20 +62,24 @@ class GenerationParams(NamedTuple):
     pad_token_id: int = 0
 
 
-def _compiler_options() -> Optional[Dict[str, Any]]:
+def _compiler_options(decode: bool = False) -> Optional[Dict[str, Any]]:
     """Optional XLA build options for the engine's serving programs.
 
     ``APERTIS_COMPILE_EFFORT=<float>`` maps to the TPU compiler's
     ``exec_time_optimization_effort`` (0.0 = default; negative trades
     optimisation time for compile time). ``APERTIS_COMPILE_LHS=0`` disables
-    the latency-hiding scheduler. Bring-up knobs: the b256 image+text
-    first-token program spends minutes in prefill-side XLA optimisation
-    (docs/README.md "Serving bring-up"); measured effect of each knob is
-    recorded there.
+    the latency-hiding scheduler. Bring-up knobs for prefill-side programs;
+    measured compile times are in docs/README.md "Serving bring-up".
+
+    The effort knob is NOT applied to decode-loop programs
+    (``decode=True``): at effort -1 the scheduler's different spill choices
+    pushed the fused SSM decode-step kernel 356 KB past the 16 MB scoped
+    VMEM limit at the 1.5B b256 shapes (measured round 4) — the decode
+    programs compile in seconds anyway.
     """
     opts: Dict[str, Any] = {}
     effort = os.environ.get("APERTIS_COMPILE_EFFORT")
-    if effort:
+    if effort and not decode:
         opts["exec_time_optimization_effort"] = float(effort)
     if os.environ.get("APERTIS_COMPILE_LHS") == "0":
         opts["xla_tpu_enable_latency_hiding_scheduler"] = False
@@ -110,19 +127,55 @@ class GenerateState(NamedTuple):
     rng: jax.Array
 
 
-def _generate_impl(
+def _make_sample(config, gen: GenerationParams, lens, lp: int, buf_len: int):
+    """Sampling closure shared by the monolithic and split programs.
+
+    History = real prompt tokens + generated region; bucket pads and the
+    unwritten tail of the buffer are masked out, so the same closure is
+    token-exact whether the buffer is sized to ``max_new_tokens`` (monolith)
+    or to the static decode capacity (split programs) — masked history
+    entries contribute exact float zeros to the penalty counts."""
+    def sample(rng, logits, state_tokens, filled):
+        pos = jnp.arange(buf_len)[None, :]
+        hist_mask = ((pos < lens[:, None]) |
+                     ((pos >= lp) & (pos < filled))).astype(jnp.float32)
+        return sampling_ops.sample_token(
+            rng, logits,
+            do_sample=gen.do_sample, temperature=gen.temperature,
+            top_k=gen.top_k, top_p=gen.top_p,
+            repetition_penalty=gen.repetition_penalty,
+            token_history=state_tokens, history_mask=hist_mask)
+    return sample
+
+
+def _make_finish_update(gen: GenerationParams, tokens_dtype):
+    def finish_update(unfinished, next_tokens):
+        next_tokens = (next_tokens * unfinished
+                       + gen.pad_token_id * (1 - unfinished)).astype(tokens_dtype)
+        for eos in gen.eos_token_ids:
+            unfinished = jnp.where(
+                (next_tokens == eos) & (unfinished == 1), 0, unfinished)
+        return next_tokens, unfinished
+    return finish_update
+
+
+def _prefill_state(
     params,
-    config: ApertisConfig,
-    gen: GenerationParams,
     input_ids: jnp.ndarray,        # (B, Lp) right-padded prompt
     attention_mask: jnp.ndarray,   # (B, Lp)
     rng: jax.Array,
     pixel_values: Optional[jnp.ndarray] = None,
-):
+    *,
+    config: ApertisConfig,
+    gen: GenerationParams,
+    cap: int,                      # static decode capacity (buffer slots)
+) -> GenerateState:
+    """Prefill + FIRST sampled token; buffers sized by ``cap`` so the
+    program is independent of the requested ``max_new_tokens``."""
     b, lp = input_ids.shape
     num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
-    cache_len = num_img + lp + gen.max_new_tokens
-    buf_len = lp + gen.max_new_tokens
+    cache_len = num_img + lp + cap
+    buf_len = lp + cap
 
     cache = model_lib.init_cache(config, b, max_length=cache_len)
     # Only each row's last real prompt token's logits are consumed below —
@@ -135,7 +188,7 @@ def _generate_impl(
         logit_positions=last_idx)
 
     tokens = jnp.concatenate(
-        [input_ids, jnp.full((b, gen.max_new_tokens), gen.pad_token_id,
+        [input_ids, jnp.full((b, cap), gen.pad_token_id,
                              input_ids.dtype)], axis=1)
     mask = jnp.zeros((b, cache_len), jnp.int32)
     if num_img:
@@ -146,25 +199,8 @@ def _generate_impl(
     # Logit of the last REAL prompt token per row (prompts are right-padded).
     first_logits = pre.logits[:, 0, :]
 
-    def sample(rng, logits, state_tokens, filled):
-        # History = real prompt tokens + generated region (bucket pads excluded).
-        pos = jnp.arange(buf_len)[None, :]
-        hist_mask = ((pos < lens[:, None]) |
-                     ((pos >= lp) & (pos < filled))).astype(jnp.float32)
-        return sampling_ops.sample_token(
-            rng, logits,
-            do_sample=gen.do_sample, temperature=gen.temperature,
-            top_k=gen.top_k, top_p=gen.top_p,
-            repetition_penalty=gen.repetition_penalty,
-            token_history=state_tokens, history_mask=hist_mask)
-
-    def finish_update(unfinished, next_tokens):
-        next_tokens = (next_tokens * unfinished
-                       + gen.pad_token_id * (1 - unfinished)).astype(tokens.dtype)
-        for eos in gen.eos_token_ids:
-            unfinished = jnp.where(
-                (next_tokens == eos) & (unfinished == 1), 0, unfinished)
-        return next_tokens, unfinished
+    sample = _make_sample(config, gen, lens, lp, buf_len)
+    finish_update = _make_finish_update(gen, tokens.dtype)
 
     rng, r0 = jax.random.split(rng)
     next_tokens = sample(r0, first_logits.astype(jnp.float32), tokens, lp)
@@ -179,12 +215,29 @@ def _generate_impl(
     t0 = jnp.asarray(num_img + lp, jnp.int32)
     mask = jax.lax.dynamic_update_slice(mask, mask_bit[:, None], (0, t0))
 
-    state = GenerateState(tokens, mask, pre.cache, t0, jnp.asarray(lp + 1, jnp.int32),
-                          unfinished, jnp.asarray(1, jnp.int32), rng)
+    return GenerateState(tokens, mask, pre.cache, t0, jnp.asarray(lp + 1, jnp.int32),
+                         unfinished, jnp.asarray(1, jnp.int32), rng)
+
+
+def _decode_loop(
+    params,
+    state: GenerateState,
+    lens: jnp.ndarray,             # (B,) real prompt lengths
+    max_new: jnp.ndarray,          # dynamic scalars: one compiled program
+    min_new: jnp.ndarray,          # serves every generation length <= cap
+    *,
+    config: ApertisConfig,
+    gen: GenerationParams,
+    lp: int,                       # static padded prompt length
+    num_img: int,                  # static image-prefix length
+):
+    b, buf_len = state.tokens.shape
+    sample = _make_sample(config, gen, lens, lp, buf_len)
+    finish_update = _make_finish_update(gen, state.tokens.dtype)
 
     def cond(s: GenerateState):
-        more_steps = s.step < gen.max_new_tokens
-        need_min = s.step < gen.min_new_tokens
+        more_steps = s.step < max_new
+        need_min = s.step < min_new
         running = jnp.any(s.unfinished == 1)
         return more_steps & (running | need_min)
 
@@ -209,6 +262,30 @@ def _generate_impl(
     return final.tokens, jnp.asarray(lp, jnp.int32) + final.step
 
 
+def _generate_impl(
+    params,
+    config: ApertisConfig,
+    gen: GenerationParams,
+    input_ids: jnp.ndarray,        # (B, Lp) right-padded prompt
+    attention_mask: jnp.ndarray,   # (B, Lp)
+    rng: jax.Array,
+    pixel_values: Optional[jnp.ndarray] = None,
+):
+    """Monolithic whole-generation program (prefill + loop in one XLA
+    program); the split path compiles :func:`_prefill_state` and
+    :func:`_decode_loop` separately instead."""
+    b, lp = input_ids.shape
+    num_img = config.num_image_tokens if (config.multimodal and pixel_values is not None) else 0
+    state = _prefill_state(params, input_ids, attention_mask, rng,
+                           pixel_values, config=config, gen=gen,
+                           cap=gen.max_new_tokens)
+    lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+    return _decode_loop(params, state, lens,
+                        jnp.asarray(gen.max_new_tokens, jnp.int32),
+                        jnp.asarray(gen.min_new_tokens, jnp.int32),
+                        config=config, gen=gen, lp=lp, num_img=num_img)
+
+
 class InferenceEngine:
     """Owns compiled generate/prefill programs for one (config, params) pair."""
 
@@ -228,6 +305,12 @@ class InferenceEngine:
             self.params = jax.tree.map(
                 lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params)
+        # Serving-side weight preparation, composed into ONE jitted program:
+        # eagerly-dispatched attach work (tens of small transposes/slices/
+        # quantizes) measured ~15 s of fresh-process bring-up at 1.5B through
+        # this environment's op-at-a-time dispatch; a single compiled program
+        # runs it in well under a second.
+        attach_steps = []
         moe_mode = os.environ.get("APERTIS_MOE_FUSED", "fatk")
         if (config.use_expert_system and config.num_experts > 0
                 and mesh is None and moe_mode != "0"):
@@ -242,9 +325,9 @@ class InferenceEngine:
             # all-to-all path owns the expert weights' sharding.
             from apertis_llm_tpu.models.moe_fuse import attach_fused_decode_params
 
-            self.params = attach_fused_decode_params(
-                self.params,
-                mode="fat" if moe_mode in ("fat", "fatk") else "kernel")
+            attach_steps.append(functools.partial(
+                attach_fused_decode_params,
+                mode="fat" if moe_mode in ("fat", "fatk") else "kernel"))
         if mesh is None and os.environ.get("APERTIS_QUANT_HEAD", "1") != "0":
             # Serving int8 copy of the tied LM head (models/quantize.py):
             # the decode step's single largest projection otherwise reads
@@ -255,7 +338,7 @@ class InferenceEngine:
                 quantize_tied_head, tree_is_quantized)
 
             if tree_is_quantized(self.params):
-                self.params = quantize_tied_head(self.params)
+                attach_steps.append(quantize_tied_head)
         if (config.attention_type == "selective_ssm" and mesh is None
                 and os.environ.get("APERTIS_SSM_STEP", "auto") != "0"):
             # Fused SSM decode-step weight pack (models/ssm_fuse.py): a
@@ -264,7 +347,15 @@ class InferenceEngine:
             # (ops/pallas/ssm_step.ssm_step_fused_enabled).
             from apertis_llm_tpu.models.ssm_fuse import attach_fused_ssm_params
 
-            self.params = attach_fused_ssm_params(self.params, config)
+            attach_steps.append(
+                functools.partial(attach_fused_ssm_params, config=config))
+        if attach_steps:
+            def attach(tree):
+                for step in attach_steps:
+                    tree = step(tree)
+                return tree
+
+            self.params = jax.jit(attach)(self.params)
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):
@@ -288,6 +379,57 @@ class InferenceEngine:
         if fn is None:
             fn = jax.jit(functools.partial(_generate_impl, config=self.config, gen=gen),
                          compiler_options=_compiler_options())
+            self._compiled[key] = fn
+        return fn
+
+    # -- split generation programs (serving bring-up) ---------------------
+    #
+    # The monolithic program recompiles the ENTIRE prefill graph for every
+    # distinct max_new_tokens; split mode compiles the prefill+first-token
+    # program once per (bucket, batch, sampling mode) and a decode-loop
+    # program whose generation length is a DYNAMIC scalar — one compile
+    # serves every max_new_tokens <= the static buffer capacity
+    # (config.decode_max_length). Default for selective-SSM models, whose
+    # decode state is O(1) so capacity-sized buffers cost only the small
+    # token/mask arrays; MHA keeps exact-sized programs (a capacity-length
+    # KV cache would be read by every attention step). Token-exact with the
+    # monolith: same ops, buffer pads are masked exact zeros.
+
+    def _split_enabled(self, has_image: bool) -> bool:
+        if os.environ.get("APERTIS_ENGINE_SPLIT", "1") == "0":
+            return False
+        return self.config.attention_type == "selective_ssm"
+
+    def _decode_cap(self, max_new: int) -> int:
+        cap = max(self.config.decode_max_length, 64)
+        if max_new > cap:
+            cap = -(-max_new // 1024) * 1024
+        return cap
+
+    def _get_split_prefill(self, gen_key: GenerationParams, lp: int,
+                           batch: int, has_image: bool, cap: int):
+        key = ("split_prefill", gen_key, lp, batch, has_image, cap)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(_prefill_state, config=self.config,
+                                  gen=gen_key, cap=cap),
+                compiler_options=_compiler_options())
+            self._compiled[key] = fn
+        return fn
+
+    def _get_split_decode(self, gen_key: GenerationParams, lp: int,
+                          batch: int, has_image: bool, cap: int):
+        key = ("split_decode", gen_key, lp, batch, has_image, cap)
+        fn = self._compiled.get(key)
+        if fn is None:
+            num_img = self.config.num_image_tokens if (
+                self.config.multimodal and has_image) else 0
+            fn = jax.jit(
+                functools.partial(_decode_loop, config=self.config,
+                                  gen=gen_key, lp=lp, num_img=num_img),
+                donate_argnums=(1,),
+                compiler_options=_compiler_options(decode=True))
             self._compiled[key] = fn
         return fn
 
@@ -338,16 +480,48 @@ class InferenceEngine:
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
-        fn = self._get_fn(gen, bucket, b, pixel_values is not None)
+        has_image = pixel_values is not None
         kwargs = {}
-        if pixel_values is not None:
+        if has_image:
             kwargs["pixel_values"] = jnp.asarray(pixel_values)
-        with self._trace_context():
-            tokens, length = fn(self.params, input_ids=jnp.asarray(padded_ids),
-                                attention_mask=jnp.asarray(padded_mask),
-                                rng=rng, **kwargs)
-        tokens = np.asarray(tokens)
-        n_generated = int(length) - bucket
+        if self._split_enabled(has_image):
+            cap = self._decode_cap(gen.max_new_tokens)
+            gen_key = gen._replace(max_new_tokens=0, min_new_tokens=0)
+            pf = self._get_split_prefill(gen_key, bucket, b, has_image, cap)
+            with self._trace_context():
+                state = pf(self.params, input_ids=jnp.asarray(padded_ids),
+                           attention_mask=jnp.asarray(padded_mask),
+                           rng=rng, **kwargs)
+            if gen.max_new_tokens <= 1:
+                # First token already sampled by the prefill program; the
+                # decode-loop program is never built for pure-TTFT calls.
+                dev_tokens = state.tokens
+                n_generated = gen.max_new_tokens
+            else:
+                df = self._get_split_decode(gen_key, bucket, b, has_image, cap)
+                lens = jnp.asarray(
+                    padded_mask.sum(axis=1).astype(np.int32))
+                with self._trace_context():
+                    dev_tokens, length = df(
+                        self.params, state, lens,
+                        jnp.asarray(gen.max_new_tokens, jnp.int32),
+                        jnp.asarray(gen.min_new_tokens, jnp.int32))
+                n_generated = int(length) - bucket
+            # Fetch only the generated columns: the capacity-sized buffer is
+            # ~2 MB at b256 and this environment's host link is slow; the
+            # device-side slice costs a trivial program per distinct width.
+            tokens = np.asarray(
+                dev_tokens[:, bucket:bucket + max(n_generated, 0)])
+            return np.concatenate([input_ids, tokens], axis=1)
+        else:
+            fn = self._get_fn(gen, bucket, b, has_image)
+            with self._trace_context():
+                tokens, length = fn(self.params,
+                                    input_ids=jnp.asarray(padded_ids),
+                                    attention_mask=jnp.asarray(padded_mask),
+                                    rng=rng, **kwargs)
+            tokens = np.asarray(tokens)
+            n_generated = int(length) - bucket
         # Contract matches the reference: prompt columns as given, then the
         # generated columns (internal bucket padding stripped).
         return np.concatenate([input_ids, tokens[:, bucket:bucket + n_generated]],

@@ -150,9 +150,13 @@ def init_vision_params(rng, config: ApertisConfig, dtype) -> Params:
             "linear2": _linear(rs[3], 4 * dv, dv, 0.02, bias=True, dtype=dtype),
         }
 
-    layer_rngs = _split(rngs[3], config.vision_layers)
-    layers = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[vit_layer(r) for r in layer_rngs])
+    # vmap over the stacked layer keys: bit-identical to stacking per-layer
+    # inits (JAX random primitives batch per-key), but the traced body is
+    # ONE layer — at 44-layer flagship depth this cuts the init program's
+    # jaxpr ~layers-fold and with it the init compile time (r3's 53-128 s
+    # "model init" was mostly XLA chewing the unrolled init graph).
+    layer_rngs = jax.random.split(rngs[3], config.vision_layers)
+    layers = jax.vmap(vit_layer)(layer_rngs)
 
     return {
         "patch_embed": {
@@ -191,9 +195,11 @@ def init_params(rng: jax.Array, config: ApertisConfig, dtype=None) -> Params:
             params["vision_proj"] = _linear(
                 rngs[3], config.vision_embed_dim, h, std, bias=True, dtype=dtype)
 
-    layer_rngs = _split(rngs[4], config.num_hidden_layers)
-    per_layer = [init_layer_params(r, config, dtype) for r in layer_rngs]
-    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    # Single vmapped layer body instead of num_hidden_layers traced copies
+    # (bit-identical values; see the vision-layer note above).
+    layer_rngs = jax.random.split(rngs[4], config.num_hidden_layers)
+    params["layers"] = jax.vmap(
+        lambda r: init_layer_params(r, config, dtype))(layer_rngs)
 
     params["final_norm"] = _norm(config, h, dtype)
     if not config.tie_word_embeddings:

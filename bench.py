@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Headline benchmark: decode throughput of the 1.5B multimodal Apertis
+"""Headline benchmark: decode throughput of the flagship multimodal Apertis
 (selective-SSM mixer) on one TPU chip.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N/10000}
+  {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N/10000,
+   ..., "moe_tok_s": N}
 
 ``vs_baseline`` is the ratio against the BASELINE.json north-star target of
-10,000 decode tokens/sec/chip (v5e). TTFT and details go to stderr.
+10,000 decode tokens/sec/chip (v5e). TTFT and details go to stderr. The
+metric name carries the MEASURED parameter count (round 3's "1.5B" label
+was the factory target; the search lands on 1.218B — ADVICE r3). By
+default one run also appends a secondary MoE row (``moe_*`` keys) so the
+driver captures both families (VERDICT r3 item 5); APERTIS_BENCH_SECONDARY=0
+disables it.
 
 Measurement protocol (see memory note axon-tpu-tunnel-quirks): every timed
 call uses fresh input buffers (the execution layer caches identical calls),
@@ -15,10 +21,12 @@ so prefill and fixed overheads cancel.
 
 Env knobs:
   APERTIS_BENCH_PRESET=tiny|1.5B|6.7B|...   model size (factory search)
-  APERTIS_BENCH_ARCH=ssm|moe      moe = top-2-of-8 AdaptiveExpertSystem
+  APERTIS_BENCH_ARCH=ssm|moe|mha  moe = top-2-of-8 AdaptiveExpertSystem;
+                                  mha = standard_mha mixer (flash path)
   APERTIS_BENCH_BATCH=N           decode batch (default 256)
   APERTIS_BENCH_QUANT=int8|bf16   serving mode (default int8)
   APERTIS_BENCH_MODE=train        train-throughput metric instead
+  APERTIS_BENCH_SECONDARY=0       skip the appended MoE row
   APERTIS_JAX_CACHE_DIR=/path     persistent compile cache (bring-up)
 """
 
@@ -70,7 +78,7 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
         cfg.update(use_expert_system=True, num_experts=8, experts_per_token=2)
     config = ApertisConfig(
         vocab_size=32000,
-        attention_type="selective_ssm",
+        attention_type="standard_mha" if arch == "mha" else "selective_ssm",
         ssm_d_state=16,
         multimodal=True,
         hidden_dropout_prob=0.0,
@@ -87,10 +95,12 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
 
         params = jax.jit(quantize_params)(params)
     jax.block_until_ready(params)
-    log(f"model init: {count_params(params)/1e9:.3f}B params "
-        f"({quant or 'bf16'}) in {time.perf_counter()-t0:.1f}s "
+    init_s = time.perf_counter() - t0
+    n_params = count_params(params)
+    log(f"model init: {n_params/1e9:.3f}B params "
+        f"({quant or 'bf16'}) in {init_s:.1f}s "
         f"on {jax.devices()[0].platform}")
-    return config, params
+    return config, params, n_params, init_s
 
 
 def bench_training():
@@ -143,38 +153,32 @@ def bench_training():
     }))
 
 
-def main():
-    if os.environ.get("APERTIS_BENCH_MODE") == "train":
-        bench_training()
-        return
-    preset = os.environ.get("APERTIS_BENCH_PRESET", "1.5B")
-    # int8 is the default serving mode for the headline bench: it beats bf16
-    # by 1.22x at b256 (65.9k vs 54.1k tok/s, quiet-host medians) with equal
-    # device-staged TTFT, and greedy-token parity with bf16 is pinned by
-    # tests (test_quantize.py, test_interface.py). Set APERTIS_BENCH_QUANT=
-    # bf16 to measure the unquantized path.
-    quant = os.environ.get("APERTIS_BENCH_QUANT",
-                           "int8" if preset != "tiny" else "")
-    if quant in ("bf16", "none"):
-        quant = ""
-    # APERTIS_BENCH_ARCH=moe benches the 8-expert top-2 MoE variant of the
-    # preset (the reference's AdaptiveExpertSystem flagship family).
-    arch = os.environ.get("APERTIS_BENCH_ARCH", "ssm")
-    batch = int(os.environ.get("APERTIS_BENCH_BATCH",
-                               "256" if preset != "tiny" else "4"))
-    prompt_len = 32
-    # Long runs are sized so the short/long delta (the decode signal) is
-    # several times the tunnel's observed 1-2 s wall-clock stall magnitude.
-    n_short, n_long = 16, (1200 if preset != "tiny" else 80)
+def measure_decode(preset: str, quant: str, arch: str, batch: int,
+                   samples: int, full_ttft: bool = True):
+    """Run the fixed short/long-delta protocol on one model family.
 
+    Returns a stats dict: decode rate, per-step ms, TTFT p50s, compile and
+    init times, spreads. ``full_ttft=False`` trims the protocol for the
+    appended secondary row (3 TTFT samples, no end-to-end-transfer TTFT)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from apertis_llm_tpu.inference.engine import InferenceEngine
 
-    config, params = build_model(preset, quant, arch)
+    prompt_len = 32
+    # Long runs are sized so the short/long delta (the decode signal) is
+    # several times the tunnel's observed 1-2 s wall-clock stall magnitude.
+    n_short, n_long = 16, (1200 if preset != "tiny" else 80)
+
+    import jax as _jax
+
+    config, params, n_params, init_s = build_model(preset, quant, arch)
+    t0 = time.perf_counter()
     engine = InferenceEngine(config, params)
+    _jax.block_until_ready(engine.params)
+    engine_s = time.perf_counter() - t0
+    log(f"engine build (fused packs + int8 head): {engine_s:.1f}s")
 
     def fresh_inputs(seed):
         r = np.random.default_rng(seed)
@@ -200,26 +204,31 @@ def main():
                         rng=jax.random.PRNGKey(seed))
         return time.perf_counter() - t0
 
-    samples = int(os.environ.get("APERTIS_BENCH_SAMPLES",
-                                 "7" if preset != "tiny" else "3"))
     c0 = run(1, 0)         # compile TTFT shape (prefill + 1 token)
     c1 = run(n_short, 0)   # compile short
     c2 = run(n_long, 0)    # compile long
     log(f"compiles: ttft {c0:.1f}s, short {c1:.1f}s, long {c2:.1f}s")
+    log(f"bring-up to first b{batch} token: {init_s + engine_s + c0:.1f}s "
+        f"(init {init_s:.1f}s + engine {engine_s:.1f}s + first-token "
+        f"program {c0:.1f}s)")
     # Thermal/clock preamble: drive sustained decode before sampling so the
     # chip reaches its steady operating point (session-to-session drift was
     # the dominant spread source in round 2 — VERDICT r2 item 8).
     if preset != "tiny":
-        for i in range(2):
+        for i in range(2 if full_ttft else 1):
             run(n_long, 50 + i)
     # TTFT = image+text prefill + first decoded token, p50 of 5 fresh-input
     # runs (BASELINE.md north-star row: p50 TTFT on image+text).
-    ttft_samples = sorted(run(1, 10 + i) for i in range(5))
-    ttft_p50_ms = ttft_samples[2] * 1e3
-    log(f"TTFT(b{batch} image+text): p50 {ttft_p50_ms:.0f} ms "
-        f"(samples {[f'{t*1e3:.0f}' for t in ttft_samples]})")
-    ttft_dev = sorted(run(1, 20 + i, stage_pixels=True) for i in range(5))
-    ttft_device_p50_ms = ttft_dev[2] * 1e3
+    ttft_p50_ms = None
+    if full_ttft:
+        ttft_samples = sorted(run(1, 10 + i) for i in range(5))
+        ttft_p50_ms = ttft_samples[2] * 1e3
+        log(f"TTFT(b{batch} image+text): p50 {ttft_p50_ms:.0f} ms "
+            f"(samples {[f'{t*1e3:.0f}' for t in ttft_samples]})")
+    n_ttft_dev = 5 if full_ttft else 3
+    ttft_dev = sorted(run(1, 20 + i, stage_pixels=True)
+                      for i in range(n_ttft_dev))
+    ttft_device_p50_ms = ttft_dev[n_ttft_dev // 2] * 1e3
     log(f"TTFT(device-staged pixels): p50 {ttft_device_p50_ms:.0f} ms "
         f"(samples {[f'{t*1e3:.0f}' for t in ttft_dev]})")
     # Fixed protocol (VERDICT r1 item 7): `samples` interleaved short/long
@@ -266,20 +275,76 @@ def main():
         f"per-pair {pair_rates[0]:,.0f}-{pair_rates[-1]:,.0f}, "
         f"iqr spread {spread_pct:.0f}%; {per_step_ms:.2f} ms/step, "
         f"batch {batch})")
+    return {
+        "decode_tps": decode_tps, "per_step_ms": per_step_ms,
+        "ttft_p50_ms": ttft_p50_ms, "ttft_device_p50_ms": ttft_device_p50_ms,
+        "samples": samples, "spread_pct": spread_pct, "n_params": n_params,
+        "init_s": init_s, "engine_s": engine_s, "ttft_compile_s": c0,
+        "bringup_s": init_s + engine_s + c0,
+    }
+
+
+def main():
+    if os.environ.get("APERTIS_BENCH_MODE") == "train":
+        bench_training()
+        return
+    preset = os.environ.get("APERTIS_BENCH_PRESET", "1.5B")
+    # int8 is the default serving mode for the headline bench: it beats bf16
+    # by 1.22x at b256 (65.9k vs 54.1k tok/s, quiet-host medians) with equal
+    # device-staged TTFT, and greedy-token parity with bf16 is pinned by
+    # tests (test_quantize.py, test_interface.py). Set APERTIS_BENCH_QUANT=
+    # bf16 to measure the unquantized path.
+    quant = os.environ.get("APERTIS_BENCH_QUANT",
+                           "int8" if preset != "tiny" else "")
+    if quant in ("bf16", "none"):
+        quant = ""
+    # APERTIS_BENCH_ARCH=moe benches the 8-expert top-2 MoE variant of the
+    # preset (the reference's AdaptiveExpertSystem flagship family);
+    # =mha benches the standard-MHA mixer (flash decode, KV cache).
+    arch = os.environ.get("APERTIS_BENCH_ARCH", "ssm")
+    batch = int(os.environ.get("APERTIS_BENCH_BATCH",
+                               "256" if preset != "tiny" else "4"))
+    samples = int(os.environ.get("APERTIS_BENCH_SAMPLES",
+                                 "7" if preset != "tiny" else "3"))
+
+    stats = measure_decode(preset, quant, arch, batch, samples)
 
     suffix = f"_{quant}" if quant else ""
-    arch_tag = "ssm_moe" if arch == "moe" else "ssm"
-    print(json.dumps({
-        "metric": f"decode_tokens_per_sec_per_chip_{preset}_multimodal_{arch_tag}"
-                  f"_b{batch}{suffix}",
-        "value": round(decode_tps, 1),
+    arch_tag = {"moe": "ssm_moe", "mha": "mha"}.get(arch, "ssm")
+    size_tag = (f"{stats['n_params']/1e9:.1f}B" if preset != "tiny"
+                else "tiny")
+    out = {
+        "metric": f"decode_tokens_per_sec_per_chip_{size_tag}_multimodal"
+                  f"_{arch_tag}_b{batch}{suffix}",
+        "value": round(stats["decode_tps"], 1),
         "unit": "tok/s/chip",
-        "vs_baseline": round(decode_tps / 10000.0, 3),
-        "ttft_p50_ms": round(ttft_p50_ms, 1),
-        "ttft_device_p50_ms": round(ttft_device_p50_ms, 1),
-        "samples": samples,
-        "spread_pct": round(spread_pct, 1),
-    }))
+        "vs_baseline": round(stats["decode_tps"] / 10000.0, 3),
+        "ttft_p50_ms": round(stats["ttft_p50_ms"], 1),
+        "ttft_device_p50_ms": round(stats["ttft_device_p50_ms"], 1),
+        "samples": stats["samples"],
+        "spread_pct": round(stats["spread_pct"], 1),
+        "params_b": round(stats["n_params"] / 1e9, 3),
+        "init_s": round(stats["init_s"], 1),
+        "ttft_compile_s": round(stats["ttft_compile_s"], 1),
+        "bringup_s": round(stats["bringup_s"], 1),
+    }
+
+    # Secondary row: the MoE family from the SAME driver run (VERDICT r3
+    # item 5) with a trimmed protocol (5 pairs, device-staged TTFT only).
+    if (preset != "tiny" and arch == "ssm"
+            and os.environ.get("APERTIS_BENCH_SECONDARY", "1") != "0"):
+        log("--- secondary row: MoE family ---")
+        moe = measure_decode(preset, quant, "moe", batch,
+                             samples=min(samples, 5), full_ttft=False)
+        out.update({
+            "moe_tok_s": round(moe["decode_tps"], 1),
+            "moe_ms_per_step": round(moe["per_step_ms"], 2),
+            "moe_ttft_device_p50_ms": round(moe["ttft_device_p50_ms"], 1),
+            "moe_params_b": round(moe["n_params"] / 1e9, 3),
+            "moe_spread_pct": round(moe["spread_pct"], 1),
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
