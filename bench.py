@@ -76,11 +76,15 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
     if arch == "moe":
         # The reference's AdaptiveExpertSystem FFN: top-2 of 8 experts.
         cfg.update(use_expert_system=True, num_experts=8, experts_per_token=2)
+    # The MHA family benches text-only: full-MHA KV at the 1.5B shapes costs
+    # ~428 KB per (row, slot) — an image prefix (197 slots) alone would eat
+    # the HBM that the generated-token cache needs (see docs/README.md MHA
+    # row note).
     config = ApertisConfig(
         vocab_size=32000,
         attention_type="standard_mha" if arch == "mha" else "selective_ssm",
         ssm_d_state=16,
-        multimodal=True,
+        multimodal=(arch != "mha"),
         hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
         max_position_embeddings=4096,
@@ -169,7 +173,15 @@ def measure_decode(preset: str, quant: str, arch: str, batch: int,
     prompt_len = 32
     # Long runs are sized so the short/long delta (the decode signal) is
     # several times the tunnel's observed 1-2 s wall-clock stall magnitude.
-    n_short, n_long = 16, (1200 if preset != "tiny" else 80)
+    # The MHA family is capped by KV-cache memory (b64 x 256 slots ~ 7 GB at
+    # the 1.5B shapes) and its per-step cost scales with the ALLOCATED cache
+    # length, so its long run is short and the delta estimator reports the
+    # per-step cost at the long run's 256-slot allocation (n_short's 48-slot
+    # steps bias the rate by ~2%).
+    if arch == "mha":
+        n_short, n_long = 16, 224
+    else:
+        n_short, n_long = 16, (1200 if preset != "tiny" else 80)
 
     import jax as _jax
 
@@ -184,6 +196,8 @@ def measure_decode(preset: str, quant: str, arch: str, batch: int,
         r = np.random.default_rng(seed)
         prompt = r.integers(4, config.vocab_size,
                             size=(batch, prompt_len)).astype(np.int32)
+        if not config.multimodal:
+            return prompt, None
         # Raw uint8 HWC images: resize/normalise happen on device, and the
         # host->device transfer is 4x smaller than fp32 CHW.
         pixels = r.integers(0, 255, size=(batch, config.image_size,
@@ -192,7 +206,7 @@ def measure_decode(preset: str, quant: str, arch: str, batch: int,
 
     def run(n_tokens, seed, stage_pixels=False):
         prompt, pixels = fresh_inputs(seed)
-        if stage_pixels:
+        if pixels is not None and stage_pixels:
             # Pre-stage the 38 MB image batch on device: isolates model
             # latency from the tunnel's host->device transfer jitter (a
             # production PCIe link moves this in ~4 ms).
@@ -229,7 +243,9 @@ def measure_decode(preset: str, quant: str, arch: str, batch: int,
     ttft_dev = sorted(run(1, 20 + i, stage_pixels=True)
                       for i in range(n_ttft_dev))
     ttft_device_p50_ms = ttft_dev[n_ttft_dev // 2] * 1e3
-    log(f"TTFT(device-staged pixels): p50 {ttft_device_p50_ms:.0f} ms "
+    ttft_tag = ("device-staged pixels" if config.multimodal
+                else "text-only prompt")
+    log(f"TTFT({ttft_tag}): p50 {ttft_device_p50_ms:.0f} ms "
         f"(samples {[f'{t*1e3:.0f}' for t in ttft_dev]})")
     # Fixed protocol (VERDICT r1 item 7): `samples` interleaved short/long
     # pairs on fresh inputs. The axon tunnel adds rare one-sided wall-clock
@@ -302,8 +318,9 @@ def main():
     # preset (the reference's AdaptiveExpertSystem flagship family);
     # =mha benches the standard-MHA mixer (flash decode, KV cache).
     arch = os.environ.get("APERTIS_BENCH_ARCH", "ssm")
-    batch = int(os.environ.get("APERTIS_BENCH_BATCH",
-                               "256" if preset != "tiny" else "4"))
+    default_batch = "4" if preset == "tiny" else ("64" if arch == "mha"
+                                                  else "256")
+    batch = int(os.environ.get("APERTIS_BENCH_BATCH", default_batch))
     samples = int(os.environ.get("APERTIS_BENCH_SAMPLES",
                                  "7" if preset != "tiny" else "3"))
 
@@ -311,10 +328,11 @@ def main():
 
     suffix = f"_{quant}" if quant else ""
     arch_tag = {"moe": "ssm_moe", "mha": "mha"}.get(arch, "ssm")
+    modal_tag = "text" if arch == "mha" else "multimodal"
     size_tag = (f"{stats['n_params']/1e9:.1f}B" if preset != "tiny"
                 else "tiny")
     out = {
-        "metric": f"decode_tokens_per_sec_per_chip_{size_tag}_multimodal"
+        "metric": f"decode_tokens_per_sec_per_chip_{size_tag}_{modal_tag}"
                   f"_{arch_tag}_b{batch}{suffix}",
         "value": round(stats["decode_tps"], 1),
         "unit": "tok/s/chip",

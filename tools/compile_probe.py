@@ -74,6 +74,12 @@ def main():
         attention_probs_dropout_prob=0.0, max_position_embeddings=4096,
         dtype="bfloat16", param_dtype="bfloat16", **cfg)
 
+    # Backend bring-up constant: first trivial device op (device client +
+    # libtpu init + first tiny compile through the tunnel).
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.ones(()) + 1.0)
+    emit("warmup", time.perf_counter() - t0)
+
     t0 = time.perf_counter()
     params = jax.jit(lambda rng: init_params(rng, config))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -166,6 +172,35 @@ def main():
         jax.block_until_ready(toks)
         emit(stage, time.perf_counter() - t0)
 
+    def time_split(seed):
+        from apertis_llm_tpu.inference.engine import GenerationParams as GP
+
+        gen_key = GP(max_new_tokens=0, min_new_tokens=0, eos_token_ids=(),
+                     pad_token_id=0)
+        cap = engine._decode_cap(16)
+        ids, pix = fresh(seed)
+        padded = np.pad(ids, ((0, 0), (0, bucket - prompt_len)))
+        attn = np.pad(np.ones((batch, prompt_len), np.int32),
+                      ((0, 0), (0, bucket - prompt_len)))
+        pix = jax.device_put(pix)
+        jax.block_until_ready(pix)
+        pf = engine._get_split_prefill(gen_key, bucket, batch, True, cap)
+        t0 = time.perf_counter()
+        state = pf(engine.params, input_ids=jnp.asarray(padded),
+                   attention_mask=jnp.asarray(attn),
+                   rng=jax.random.PRNGKey(seed), pixel_values=pix)
+        jax.block_until_ready(state.tokens)
+        emit("split_prefill", time.perf_counter() - t0)
+        df = engine._get_split_decode(gen_key, bucket, batch, True, cap)
+        lens = jnp.full((batch,), prompt_len, jnp.int32)
+        t0 = time.perf_counter()
+        toks, _ = df(engine.params, state, lens,
+                     jnp.asarray(16, jnp.int32), jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(toks)
+        emit("split_decode", time.perf_counter() - t0)
+
+    if "split" in STAGES:
+        time_split(7)
     if "ttft" in STAGES:
         time_monolith("ttft", 1, 3)
     if "short" in STAGES:
