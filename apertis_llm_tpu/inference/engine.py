@@ -286,6 +286,40 @@ def _generate_impl(
                         config=config, gen=gen, lp=lp, num_img=num_img)
 
 
+def _normalize_layouts(tree):
+    """Force default (row-major) physical layouts on large serving leaves.
+
+    XLA picks output layouts for the engine's attach program freely, and
+    for the fat MoE stack it chose to store ``w2t_q`` (L, E*I, H) PHYSICALLY
+    TRANSPOSED (major_to_minor (0, 2, 1)). Measured effect on the decode
+    step itself: NONE (the pallas custom call constrains its operand
+    layouts, so XLA relayouts once at program entry either way) — kept
+    because the one-time normalization copy here is cheaper and more
+    predictable than letting every consuming program carry its own
+    boundary relayout of a ~700 MB stack."""
+    try:
+        from jax.experimental.layout import Format, Layout
+    except Exception:                      # pragma: no cover - old jax
+        return tree
+
+    def fix(x):
+        if not isinstance(x, jax.Array) or x.ndim < 2 or x.size < (1 << 16):
+            return x
+        try:
+            layout = x.format.layout
+        except Exception:                  # non-addressable / cpu arrays
+            return x
+        if layout is None:
+            return x
+        default = tuple(range(x.ndim))
+        if tuple(layout.major_to_minor) == default:
+            return x
+        return jax.device_put(
+            x, Format(Layout(major_to_minor=default), x.sharding))
+
+    return jax.tree.map(fix, tree)
+
+
 class InferenceEngine:
     """Owns compiled generate/prefill programs for one (config, params) pair."""
 
@@ -356,6 +390,7 @@ class InferenceEngine:
                 return tree
 
             self.params = jax.jit(attach)(self.params)
+            self.params = _normalize_layouts(self.params)
         self._compiled: Dict[Any, Any] = {}
 
     def _trace_context(self):

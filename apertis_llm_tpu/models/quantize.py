@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
@@ -53,6 +54,44 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale.astype(jnp.float32)
 
 
+def quantize_weight_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int4: w ~= unpack(w_q4) * w_s.
+
+    Values quantize to [-7, 7] with scale = absmax/7. Two 4-bit values pack
+    into one int8 byte PAIRED ALONG THE CONTRACTION AXIS with stride in/2:
+    row i of the packed tensor holds row i in its low nibble and row
+    i + in/2 in its high nibble — consumers split the contraction instead
+    of interleaving (dot(x[:, :in/2], low) + dot(x[:, in/2:], high)), which
+    needs no lane/sublane gather in Mosaic. The contraction axis (-2) must
+    be even."""
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    k = w.shape[-2]
+    lo = jax.lax.slice_in_dim(q, 0, k // 2, axis=w.ndim - 2)
+    hi = jax.lax.slice_in_dim(q, k // 2, k, axis=w.ndim - 2)
+    packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+    return packed, scale.astype(jnp.float32)
+
+
+def unpack_int4(packed: jnp.ndarray, axis: int = -2
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a packed int4 tensor into its (low, high) int8 halves
+    (contraction rows [0:in/2] and [in/2:in])."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)   # sign-extend low nibble
+    hi = (p >> 4).astype(jnp.int8)            # arithmetic: sign-extends
+    return lo, hi
+
+
+def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Reconstruct the full (in, out) weight (XLA fallback path)."""
+    lo, hi = unpack_int4(packed)
+    full = jnp.concatenate([lo, hi], axis=packed.ndim - 2)
+    return full.astype(dtype) * scale.astype(dtype)
+
+
 def quantize_params(params: Params, min_size: int = 1 << 16,
                     quantize_vision: bool | None = None) -> Params:
     """Return a copy of the tree with eligible projection weights stored as
@@ -60,10 +99,18 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
     ``_linear``). ``min_size`` skips small matrices where quantization
     overhead outweighs the bandwidth win. ``quantize_vision`` additionally
     quantizes the ViT encoder + projection (default: ``APERTIS_QUANT_VIT``)."""
-    if quantize_vision is None:
-        import os
+    import os
 
+    if quantize_vision is None:
         quantize_vision = os.environ.get("APERTIS_QUANT_VIT", "0") == "1"
+    # Opt-in w4a8: FFN-side weights (the decode step's dominant weight
+    # traffic: dense-FFN w1/w2, SwiGLU, MoE expert stacks) store int4
+    # instead of int8 (APERTIS_QUANT_BITS=4). Mixer projections, routers
+    # and the head stay int8 — they are small and quality-sensitive.
+    int4_ffn = os.environ.get("APERTIS_QUANT_BITS", "8") == "4"
+    _INT4_SLOTS = {("w1", "experts"), ("w2", "experts"),
+                   ("w", "w1"), ("w", "w2"),
+                   ("w", "w_gate"), ("w", "w_up"), ("w", "w_down")}
 
     def walk(tree, name):
         if not isinstance(tree, dict):
@@ -78,8 +125,13 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
                     and value.size >= min_size
                     and jnp.issubdtype(value.dtype, jnp.floating)
                     and name not in _SKIP_PARENTS):
-                q, s = quantize_weight(value)
-                out[key + "_q"], out[key + "_s"] = q, s
+                if (int4_ffn and (key, name) in _INT4_SLOTS
+                        and value.shape[-2] % 2 == 0):
+                    q4, s = quantize_weight_int4(value)
+                    out[key + "_q4"], out[key + "_s"] = q4, s
+                else:
+                    q, s = quantize_weight(value)
+                    out[key + "_q"], out[key + "_s"] = q, s
             elif isinstance(value, dict):
                 out[key] = walk(value, key)
             else:

@@ -74,6 +74,45 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
                       + b2_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
+def _kernel_pipelined(act_fn, n_tiles, lidx_ref, xq_ref, xs_ref, w1q_ref,
+                      w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref, out_ref,
+                      acc_ref, hq_ref, hs_ref):
+    """Software-pipelined dense-FFN kernel (the moe_ffn.py transform):
+    GEMM2 for tile ``ni-1`` issues before tile ``ni``'s VPU epilogue, so the
+    MXU never waits on the dequant/act/requant chain; grid runs one extra
+    drain step and hq/hs ping-pong in scratch."""
+    ni = pl.program_id(0)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ni < n_tiles)
+    def _():
+        acc1 = jax.lax.dot_general(
+            xq_ref[:], w1q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (S, BN)
+        h = (acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0]
+             + b1_ref[0].astype(jnp.float32))
+        h = act_fn(h)
+        absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        hq_ref[ni % 2] = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+        hs_ref[ni % 2] = hs
+
+    @pl.when(ni > 0)
+    def _():
+        acc2 = jax.lax.dot_general(
+            hq_ref[(ni - 1) % 2], w2q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (S, H)
+        acc_ref[:] += acc2.astype(jnp.float32) * hs_ref[(ni - 1) % 2]
+
+    @pl.when(ni == n_tiles)
+    def _():
+        out_ref[:] = (acc_ref[:] * w2s_ref[0]
+                      + b2_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
 def _pick_block_n(i: int, target: int) -> int:
     """Largest 128-multiple divisor of ``i`` that is <= target."""
     bn = (min(target, i) // 128) * 128   # align the start DOWN to 128
@@ -117,22 +156,36 @@ def ffn_decode_fused(
         xs = jnp.pad(xs, ((0, sp - s), (0, 0)))
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    pipelined = os.environ.get("APERTIS_FFN_FUSED_PIPE", "1") == "1"
+    n_tiles = i // bn
+    if pipelined:
+        grid = (n_tiles + 1,)
+        last = n_tiles - 1
+        w1_map = lambda ni, li: (li[0], 0, jnp.minimum(ni, last))
+        w2_map = lambda ni, li: (li[0], jnp.maximum(ni - 1, 0), 0)
+        kernel = functools.partial(_kernel_pipelined, act_fn, n_tiles)
+        scratch = [pltpu.VMEM((sp, h), jnp.float32),
+                   pltpu.VMEM((2, sp, bn), jnp.int8),
+                   pltpu.VMEM((2, sp, 1), jnp.float32)]
+    else:
+        grid = (n_tiles,)
+        w1_map = lambda ni, li: (li[0], 0, ni)
+        w2_map = lambda ni, li: (li[0], ni, 0)
+        kernel = functools.partial(_kernel, act_fn)
+        scratch = [pltpu.VMEM((sp, h), jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(i // bn,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sp, 1), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, h), lambda ni, li: (li[0], ni, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), w2_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
@@ -140,10 +193,10 @@ def ffn_decode_fused(
         ],
         out_specs=pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((sp, h), jnp.float32)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, act_fn),
+        kernel,
         interpret=jax.default_backend() != "tpu",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),

@@ -40,18 +40,27 @@ BLOCK_M = 128
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
-    """erf via Abramowitz–Stegun 7.1.26 (|error| <= 1.5e-7).
+    """erf as tanh of an odd quintic: ONE hardware transcendental, 4 mults.
 
-    Mosaic's TPU lowering has no erf/erfc primitive (only exp/tanh/
-    logistic), so the exact-GELU activation is computed in-kernel from this
-    polynomial; 1.5e-7 absolute is ~3 orders below the int8 requantization
-    noise this kernel already carries."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    Mosaic's TPU lowering has no erf/erfc primitive. The A&S 7.1.26
+    rational form this kernel originally used needs a divide AND an exp,
+    and a div/exp-free piecewise deg-8 polynomial needs ~32 mult/add
+    passes — BOTH xplane-measured at ~29 us/layer of VPU time inside the
+    fat MoE kernel at the 1.5B b256 decode shapes (91.1 us/layer vs
+    62.5 us/layer with this form, round 4; the dense-FFN kernel shares the
+    activation through kernel_activation). tanh is a single-pass hardware
+    op on the VPU, so erf(x) = tanh(x*(a + b*x^2 + c*x^4)) costs ~nothing;
+    its |error| <= 3.7e-5 (coefficients minimax-refit over [0, 6]; odd
+    symmetry and saturation are inherited from tanh) stays ~1 order below
+    the int8 requantization noise the kernel already carries — pinned
+    against exact GELU by tests/test_moe_fused.py."""
+    # Clamp to the fit domain: the quintic's argument changes sign past
+    # |x| ~ 8.25; erf(6) is 1 to f32 precision, so the clamp is exact.
+    xc = jnp.clip(x, -6.0, 6.0)
+    z2 = xc * xc
+    return jnp.tanh(xc * (1.1281433796476101
+                          + z2 * (0.10408118539321598
+                                  + z2 * -0.0017864744333988334)))
 
 
 def _gelu_exact(x):
@@ -138,6 +147,64 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
         out_ref[:] = (acc_ref[:] * w2s_ref[0]).astype(out_ref.dtype)
 
 
+def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles,
+                          lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref,
+                          w1s_ref, b1_ref, w2q_ref, w2s_ref, out_ref,
+                          acc_ref, hq_ref, hs_ref):
+    """Software-pipelined fat kernel: GEMM2 for tile ``ni-1`` issues BEFORE
+    tile ``ni``'s epilogue, so the MXU contraction overlaps the VPU's
+    dequant/act/requant chain instead of waiting on it.
+
+    The unpipelined kernel serialises GEMM1 (MXU) -> epilogue (VPU, ~3.7 us
+    on a (256, 2816) tile: dequant, exact GELU, combine, absmax/round/clip)
+    -> GEMM2 (MXU) within every grid step — xplane-profiled at 91 us/layer
+    vs the ~41 us MXU+DMA roofline at the 1.5B-MoE shapes, i.e. the MXU
+    idles through every epilogue. Here grid = n_tiles + 1; step ni computes
+    GEMM1+epilogue for tile ni into a ping-pong hq/hs scratch and GEMM2 for
+    tile ni-1 from the other buffer; the extra final step drains the last
+    tile. The w1/w2 BlockSpec index maps are shifted accordingly, so tile
+    DMA double-buffering is unchanged. The combine column folds into the
+    per-(row, tile) requant scales ((S, 1) scalars) instead of a full
+    (S, bn) multiply — combine weights are >= 0, so
+    absmax(h*col) == absmax(h)*col and the quantized payload is identical.
+    """
+    ni = pl.program_id(0)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ni < n_tiles)
+    def _():
+        xq = xq_ref[:]                                # (S, H) int8 resident
+        acc1 = jax.lax.dot_general(
+            xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (S, BN)
+        h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
+        h = act_fn(h)
+        e_idx = ni // tiles_per_expert
+        comb = comb_ref[:]                            # (S, E)
+        lane = jax.lax.broadcasted_iota(jnp.int32, comb.shape, 1)
+        col = jnp.sum(jnp.where(lane == e_idx, comb, 0.0), axis=1,
+                      keepdims=True)
+        absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+        hq_ref[ni % 2] = jnp.clip(jnp.round(h / hs),
+                                  -127, 127).astype(jnp.int8)
+        hs_ref[ni % 2] = hs * col
+
+    @pl.when(ni > 0)
+    def _():
+        acc2 = jax.lax.dot_general(
+            hq_ref[(ni - 1) % 2], w2q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (S, H)
+        acc_ref[:] += acc2.astype(jnp.float32) * hs_ref[(ni - 1) % 2]
+
+    @pl.when(ni == n_tiles)
+    def _():
+        out_ref[:] = (acc_ref[:] * w2s_ref[0]).astype(out_ref.dtype)
+
+
 def expert_ffn_fat(
     xq: jnp.ndarray,      # (S, H) int8 — shared pre-quantized normalized x
     xs: jnp.ndarray,      # (S, 1) float32 per-row activation scales
@@ -153,6 +220,7 @@ def expert_ffn_fat(
     hidden_act: str = "gelu",
     block_n: Optional[int] = None,
     bf16_dot2: Optional[bool] = None,
+    pipelined: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Combined MoE FFN output (S, H); ``combine @ b2`` is added outside."""
     import os
@@ -164,6 +232,9 @@ def expert_ffn_fat(
         block_n = int(os.environ.get("APERTIS_MOE_FATK_BN", "2816"))
     if bf16_dot2 is None:
         bf16_dot2 = os.environ.get("APERTIS_MOE_FATK_BF16DOT2", "0") == "1"
+    if pipelined is None:
+        pipelined = os.environ.get("APERTIS_MOE_FATK_PIPE", "1") == "1"
+    pipelined = pipelined and not bf16_dot2
     act_fn = kernel_activation(hidden_act)
     s, h = xq.shape
     if w1t_q.ndim == 2:
@@ -188,10 +259,41 @@ def expert_ffn_fat(
         combine = jnp.pad(combine, ((0, sp - s), (0, 0)))
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    n_tiles = ei // bn
+    if pipelined:
+        # Pipelined grid runs one extra drain step; tile index maps clamp
+        # (GEMM1 side) or shift back one (GEMM2 side).
+        grid = (n_tiles + 1,)
+        last = n_tiles - 1
+
+        def w1_map(ni, li):
+            return (li[0], 0, jnp.minimum(ni, last))
+
+        def w2_map(ni, li):
+            return (li[0], jnp.maximum(ni - 1, 0), 0)
+
+        kernel = functools.partial(_fat_kernel_pipelined, act_fn,
+                                   tiles_per_expert, n_tiles)
+        scratch = [pltpu.VMEM((sp, h), jnp.float32),
+                   pltpu.VMEM((2, sp, bn), jnp.int8),
+                   pltpu.VMEM((2, sp, 1), jnp.float32)]
+    else:
+        grid = (n_tiles,)
+
+        def w1_map(ni, li):
+            return (li[0], 0, ni)
+
+        def w2_map(ni, li):
+            return (li[0], ni, 0)
+
+        kernel = functools.partial(_fat_kernel, act_fn, tiles_per_expert,
+                                   bf16_dot2)
+        scratch = [pltpu.VMEM((sp, h), jnp.float32)]
+
     # Index maps receive the grid ids then the scalar-prefetch refs.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ei // bn,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -199,23 +301,19 @@ def expert_ffn_fat(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sp, num_experts), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, h), lambda ni, li: (li[0], ni, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), w2_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((sp, h), lambda ni, li: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((sp, h), jnp.float32)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_fat_kernel, act_fn, tiles_per_expert, bf16_dot2),
+        kernel,
         interpret=jax.default_backend() != "tpu",
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),

@@ -75,6 +75,14 @@ def test_generate_compiles_once_per_bucket():
     for l in (3, 9, 17, 30):
         prompt = np.full((1, l), 5, np.int32)
         engine.generate(prompt, max_new_tokens=2, eos_token_id=())
-    # all four prompts share the 32-bucket -> exactly one compiled generate
+    # all four prompts share the 32-bucket -> exactly one compiled program
+    # set: one prefill + one decode-loop in split mode (SSM default; the
+    # decode length is dynamic so max_new_tokens never forks a key), or a
+    # single monolithic program otherwise.
     gen_keys = [k for k in engine._compiled if not isinstance(k[0], str)]
-    assert len(gen_keys) == 1
+    pf_keys = [k for k in engine._compiled if k[0] == "split_prefill"]
+    dec_keys = [k for k in engine._compiled if k[0] == "split_decode"]
+    if pf_keys:
+        assert len(pf_keys) == 1 and len(dec_keys) == 1 and not gen_keys
+    else:
+        assert len(gen_keys) == 1

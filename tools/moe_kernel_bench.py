@@ -41,15 +41,20 @@ def _mk(seed, shape, dtype):
     return jax.random.uniform(k, shape, jnp.float32) * 0.01
 
 
-w1q = jax.jit(lambda: _mk(0, (L, H, EI), jnp.int8))()
-w2q = jax.jit(lambda: _mk(1, (L, EI, H), jnp.int8))()
-w1s = jax.jit(lambda: _mk(2, (L, 1, EI), jnp.float32))()
-b1 = jax.jit(lambda: _mk(3, (L, 1, EI), jnp.float32))()
-w2s = jax.jit(lambda: _mk(4, (L, 1, H), jnp.float32))()
-xq = jax.jit(lambda: _mk(5, (S, H), jnp.int8))()
-xs = jax.jit(lambda: _mk(6, (S, 1), jnp.float32))()
-comb = jax.jit(lambda: _mk(7, (S, E), jnp.float32))()
-jax.block_until_ready((w1q, w2q))
+# The stacks are passed as jit ARGUMENTS everywhere below: closing over
+# them embeds them as HLO constants and the compile request ships ~1.4 GB
+# of literals through the tunnel (measured: >30 min, then a broken pipe).
+DATA = {
+    "w1q": jax.jit(lambda: _mk(0, (L, H, EI), jnp.int8))(),
+    "w2q": jax.jit(lambda: _mk(1, (L, EI, H), jnp.int8))(),
+    "w1s": jax.jit(lambda: _mk(2, (L, 1, EI), jnp.float32))(),
+    "b1": jax.jit(lambda: _mk(3, (L, 1, EI), jnp.float32))(),
+    "w2s": jax.jit(lambda: _mk(4, (L, 1, H), jnp.float32))(),
+    "xq": jax.jit(lambda: _mk(5, (S, H), jnp.int8))(),
+    "xs": jax.jit(lambda: _mk(6, (S, 1), jnp.float32))(),
+    "comb": jax.jit(lambda: _mk(7, (S, E), jnp.float32))(),
+}
+jax.block_until_ready(DATA)
 print(json.dumps({"stage": "data_ready"}), flush=True)
 
 
@@ -108,7 +113,7 @@ def _variant_kernel(variant, tiles_per_expert,
 def make_variant(variant, bn):
     tiles_per_expert = max(I // bn, 1)
 
-    def call(lidx):
+    def call(lidx, d):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(EI // bn,),
@@ -140,40 +145,51 @@ def make_variant(variant, bn):
             out_shape=jax.ShapeDtypeStruct((S, H), jnp.bfloat16),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(lidx, xq, xs, comb, w1q, w1s, b1, w2q, w2s)
+        )(lidx, d["xq"], d["xs"], d["comb"], d["w1q"], d["w1s"], d["b1"],
+          d["w2q"], d["w2s"])
 
-    def chained(x0):
+    def chained(seed, d):
+        # Perturb the activations with the seed so every LAUNCH is unique:
+        # the tunnel's execution layer memoizes identical calls (memory
+        # note axon-tpu-tunnel-quirks) — the first version of this bench
+        # "measured" 0.7 us/layer for a 31.7 MB weight stream.
+        d = dict(d)
+        d["xq"] = (d["xq"] + (seed % 121).astype(jnp.int8)[None, None])
         def body(carry, li):
-            y = call(li.reshape(1))
+            y = call(li.reshape(1), d)
             return carry + y.astype(jnp.float32)[0, 0], None
-        out, _ = jax.lax.scan(body, x0, jnp.arange(L, dtype=jnp.int32))
+        out, _ = jax.lax.scan(body, seed.astype(jnp.float32) * 0,
+                              jnp.arange(L, dtype=jnp.int32))
         return out
 
     return jax.jit(chained)
 
 
-def production(x0):
+def production(seed, d):
     from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
 
+    xq = (d["xq"] + (seed % 121).astype(jnp.int8)[None, None])
+
     def body(carry, li):
-        y = expert_ffn_fat(xq, xs, comb, w1q, w1s, b1[:, 0, :], w2q, w2s,
+        y = expert_ffn_fat(xq, d["xs"], d["comb"], d["w1q"], d["w1s"],
+                           d["b1"][:, 0, :], d["w2q"], d["w2s"],
                            E, layer_idx=li, block_n=BN)
         return carry + y.astype(jnp.float32)[0, 0], None
-    out, _ = jax.lax.scan(body, x0, jnp.arange(L, dtype=jnp.int32))
+    out, _ = jax.lax.scan(body, seed.astype(jnp.float32) * 0,
+                          jnp.arange(L, dtype=jnp.int32))
     return out
 
 
 def time_fn(fn, tag):
-    x = jnp.zeros(())
-    jax.block_until_ready(fn(x))                       # compile
+    jax.block_until_ready(fn(jnp.asarray(10**6, jnp.int32), DATA))  # compile
     reps = 20
     ts = []
     for r in range(5):
+        seeds = [jnp.asarray(10 * r + 17 * i + 1, jnp.int32)
+                 for i in range(reps)]
         t0 = time.perf_counter()
-        y = x
-        for _ in range(reps):
-            y = fn(y)
-        jax.block_until_ready(y)
+        outs = [fn(sd, DATA) for sd in seeds]
+        jax.block_until_ready(outs)
         ts.append((time.perf_counter() - t0) / reps)
     ts.sort()
     per_layer_us = ts[len(ts) // 2] / L * 1e6
