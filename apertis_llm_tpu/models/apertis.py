@@ -1043,6 +1043,51 @@ def decode_step(
             if ssm_stack is not None and "fnorm_w" in ssm_stack:
                 ffn_mode = "dense"
 
+    if not is_ssm:
+        # MHA: the decode step's ONLY O(cache) HBM traffic should be
+        # attention's unavoidable read of the filled K/V slots. The original
+        # structure (stacked cache as scan xs, updated per-layer caches
+        # re-stacked as scan ys) rewrote the ENTIRE cache allocation every
+        # decode step — at the 1.5B b64 serving shapes ~7 GB of write per
+        # token on top of the ~7 GB read, measured as the round-4 849 tok/s
+        # (75.4 ms/step) pathology. Here the cache is decoupled from the
+        # scan: each layer READS its old-cache slice (scan xs), attends to
+        # the brand-new token via an explicit self-term (the old cache's
+        # slot ``t`` is stale and masked out), and emits its new K/V slot
+        # as a tiny (B, H, 1, Dh) scan ys; ONE dynamic_update_slice after
+        # the scan writes every layer's slot column in place.
+        valid_cache = valid & (jnp.arange(max_len)[None, :] != t)
+
+        def body_mha(hc, xs):
+            lp, k_l, v_l, li = xs
+            normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
+            attn_out, kh, vh = _mha_decode_step(
+                lp["attn"], config, normed, k_l, v_l, pos, valid_cache,
+                cos_t, sin_t)
+            hc = hc + attn_out
+            normed = _apply_norm(lp["ffn"]["pre_norm"], hc, eps)
+            ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
+                                 rng=None, fat_stack=fat_stack, layer_idx=li,
+                                 dense_stack=dense_stack)
+            return hc + ffn_out, (kh, vh)
+
+        h, (kh_stack, vh_stack) = jax.lax.scan(
+            body_mha, h,
+            (layers, cache["k"], cache["v"],
+             jnp.arange(config.num_hidden_layers, dtype=jnp.int32)),
+            unroll=_decode_unroll(config.num_hidden_layers))
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], kh_stack.astype(cache["k"].dtype),
+                (0, 0, 0, t, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], vh_stack.astype(cache["v"].dtype),
+                (0, 0, 0, t, 0)),
+        }
+        h = _apply_norm(params["final_norm"], h, eps)
+        logits = _lm_head(params, h)[:, 0, :]
+        return logits, new_cache
+
     def body(h, xs):
         lp, layer_cache, li = xs
         if ssm_stack is not None:
@@ -1090,15 +1135,9 @@ def decode_step(
             h = h2[:, None, :]
         else:
             normed = _apply_norm(lp["attn"]["pre_norm"], h, eps)
-            if is_ssm:
-                attn_out, new_layer_cache = _ssm_decode_step(
-                    lp["attn"], config, normed[:, 0, :], layer_cache)
-                attn_out = attn_out[:, None, :]
-            else:
-                attn_out, new_layer_cache = _mha_decode_step(
-                    lp["attn"], config, normed, layer_cache, pos, valid,
-                    cos_t, sin_t, t)
-            h = h + attn_out
+            attn_out, new_layer_cache = _ssm_decode_step(
+                lp["attn"], config, normed[:, 0, :], layer_cache)
+            h = h + attn_out[:, None, :]
         normed = _apply_norm(lp["ffn"]["pre_norm"], h, eps)
         ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
                              rng=None, fat_stack=fat_stack, layer_idx=li,
@@ -1115,7 +1154,14 @@ def decode_step(
     return logits, new_cache
 
 
-def _mha_decode_step(lp, config, x, layer_cache, pos, valid, cos_t, sin_t, t):
+def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t):
+    """Single-token MHA step reading the layer's OLD cache slice.
+
+    The new token's K/V never touch the cache here: attention runs over
+    the stale-slot-masked old slice plus an explicit self-term
+    (:func:`ops.attention.decode_attention_selfterm`), and the fresh
+    (B, H, 1, Dh) slot is returned for the caller's single post-scan
+    slot-column write."""
     b = x.shape[0]
     heads, head_dim = config.num_attention_heads, config.head_dim
     q = _linear(lp["q"], x)
@@ -1129,13 +1175,10 @@ def _mha_decode_step(lp, config, x, layer_cache, pos, valid, cos_t, sin_t, t):
         return z.reshape(b, 1, heads, head_dim).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-    k_cache = jax.lax.dynamic_update_slice(
-        layer_cache["k"], kh.astype(layer_cache["k"].dtype), (0, 0, t, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        layer_cache["v"], vh.astype(layer_cache["v"].dtype), (0, 0, t, 0))
-    ctx = attn_ops.decode_attention(qh, k_cache, v_cache, valid)
+    ctx = attn_ops.decode_attention_selfterm(
+        qh, k_l, v_l, kh.astype(k_l.dtype), vh.astype(v_l.dtype), valid_cache)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, heads * head_dim)
-    return _linear(lp["o"], ctx), {"k": k_cache, "v": v_cache}
+    return _linear(lp["o"], ctx), kh, vh
 
 
 def _ssm_decode_step(lp, config, x, layer_cache):

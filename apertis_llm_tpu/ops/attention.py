@@ -99,3 +99,38 @@ def decode_attention(
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache,
                       preferred_element_type=jnp.float32).astype(v_cache.dtype)
+
+
+def decode_attention_selfterm(
+    q: jnp.ndarray,        # (B, H, 1, Dh)
+    k_cache: jnp.ndarray,  # (B, H, Lmax, Dh) OLD cache (new slot stale)
+    v_cache: jnp.ndarray,  # (B, H, Lmax, Dh)
+    k_new: jnp.ndarray,    # (B, H, 1, Dh) this token's key
+    v_new: jnp.ndarray,    # (B, H, 1, Dh) this token's value
+    valid_cache: jnp.ndarray,  # (B, Lmax) bool; must EXCLUDE the stale slot
+) -> jnp.ndarray:
+    """Single-token attention over the old cache plus an explicit self-term.
+
+    Numerically the same softmax/context as writing ``(k_new, v_new)`` into
+    the cache slot and running :func:`decode_attention` with that slot valid
+    (the self column just moves to the end of the reduction) — reorganised
+    so a decode step never materialises an updated cache before attending:
+    the serving engine writes every layer's new slot with one post-scan
+    slot-column update instead (models/apertis.decode_step)."""
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(valid_cache[:, None, None, :], scores, NEG_INF)
+    self_score = jnp.einsum(
+        "bhqd,bhqd->bhq", q, k_new,
+        preferred_element_type=jnp.float32)[..., None] * scale  # (B, H, 1, 1)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), self_score)
+    probs = jnp.exp(scores - m)
+    p_self = jnp.exp(self_score - m)
+    denom = jnp.sum(probs, axis=-1, keepdims=True) + p_self
+    probs = probs / denom
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx + (p_self / denom) * v_new.astype(jnp.float32)
+    return ctx.astype(v_cache.dtype)
