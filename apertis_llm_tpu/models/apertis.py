@@ -93,6 +93,26 @@ def _quant_mode() -> str:
 
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q4" in p:
+        # int4-packed weights (models/quantize.quantize_weight_int4,
+        # APERTIS_QUANT_BITS=4). The XLA path unpacks to int8 in-graph —
+        # the dequant/unpack fuses into the consuming dot's operand load;
+        # the decode hot paths consume the PACKED form directly in the
+        # fused kernels (ffn_fused.py / moe_ffn.py) for the bandwidth win.
+        from apertis_llm_tpu.models.quantize import unpack_int4
+
+        rows = x.size // x.shape[-1]
+        if _quant_mode() in ("auto", "dyn") and rows >= 128 and _on_tpu():
+            from apertis_llm_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_dyn_xla)
+
+            y = quant_matmul_dyn_xla(x, unpack_int4(p["w_q4"]), p["w_s"])
+        else:
+            y = x @ (unpack_int4(p["w_q4"]).astype(x.dtype)
+                     * p["w_s"].astype(x.dtype))
+        if "b" in p:
+            y = y + p["b"]
+        return y
     if "w_q" in p:
         # int8 weights with per-output-channel scales. Small row counts
         # (decode at modest batch) are weight-bandwidth-bound: XLA's dequant
@@ -162,7 +182,8 @@ def _maybe_ln_quant(norm_p: Params, x: jnp.ndarray, eps: float,
     # tests can pin the fused full-forward against the unfused path on CPU.
     if (((_on_tpu() and rows >= 512) or lnq == "force")
             and _quant_mode() in ("auto", "dyn")
-            and all(c is not None and "w_q" in c for c in consumers)
+            and all(c is not None and ("w_q" in c or "w_q4" in c)
+                    for c in consumers)
             and _parallel_current().mesh is None
             and lnq != "0"):
         from apertis_llm_tpu.ops.pallas.ln_quant import ln_quantize
@@ -180,9 +201,17 @@ def _linear_pre_q(p: Params, x_q: jnp.ndarray, x_s: jnp.ndarray,
                   out_dtype) -> jnp.ndarray:
     """int8 matmul with PRE-quantized activations — the same math as
     ops/pallas/quant_matmul.quant_matmul_dyn_xla after its quantize_rows,
-    so fused-LN callers produce identical outputs to the unfused path."""
+    so fused-LN callers produce identical outputs to the unfused path.
+    int4-packed weights unpack in-graph (the int8 activations feed the
+    same integer dot)."""
+    if "w_q4" in p:
+        from apertis_llm_tpu.models.quantize import unpack_int4
+
+        w_q = unpack_int4(p["w_q4"])
+    else:
+        w_q = p["w_q"]
     acc = jax.lax.dot_general(
-        x_q, p["w_q"], (((x_q.ndim - 1,), (0,)), ((), ())),
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = (acc.astype(jnp.float32) * x_s
          * p["w_s"].reshape(1, -1).astype(jnp.float32)).astype(out_dtype)
@@ -570,11 +599,12 @@ def _ffn(
         x2 = x.reshape(-1, x.shape[-1])
         xq, xs = quantize_rows(x2)
         w1, w2 = dense_stack["w1"], dense_stack["w2"]
+        int4 = "w_q4" in w1
         y = ffn_decode_fused(
-            xq, xs, w1["w_q"], w1["w_s"], w1["b"],
-            w2["w_q"], w2["w_s"], w2["b"],
+            xq, xs, w1["w_q4" if int4 else "w_q"], w1["w_s"], w1["b"],
+            w2["w_q4" if int4 else "w_q"], w2["w_s"], w2["b"],
             layer_idx=layer_idx, out_dtype=x.dtype,
-            hidden_act=config.hidden_act)
+            hidden_act=config.hidden_act, int4=int4)
         return y.reshape(*lead, y.shape[-1]), zero, zero
     act = get_activation(config.hidden_act)
     if x_quant is not None:
@@ -1114,22 +1144,27 @@ def decode_step(
 
                 xq2, xs2 = outs[3], outs[4]
                 w1, w2 = dense_stack["w1"], dense_stack["w2"]
+                i4 = "w_q4" in w1
                 y = ffn_decode_fused(
-                    xq2, xs2, w1["w_q"], w1["w_s"], w1["b"],
-                    w2["w_q"], w2["w_s"], w2["b"],
+                    xq2, xs2, w1["w_q4" if i4 else "w_q"], w1["w_s"], w1["b"],
+                    w2["w_q4" if i4 else "w_q"], w2["w_s"], w2["b"],
                     layer_idx=li, out_dtype=h2.dtype,
-                    hidden_act=config.hidden_act)
+                    hidden_act=config.hidden_act, int4=i4)
                 return (h2 + y)[:, None, :], new_layer_cache
             if ffn_mode == "moe":
                 from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
 
                 xq2, xs2, comb = outs[3], outs[4], outs[5]
+                i4 = "w1t_q4" in fat_stack
                 y = expert_ffn_fat(
                     xq2, xs2, comb,
-                    fat_stack["w1t_q"], fat_stack["w1t_s"], fat_stack["b1t"],
-                    fat_stack["w2t_q"], fat_stack["w2t_s"],
+                    fat_stack["w1t_q4" if i4 else "w1t_q"],
+                    fat_stack["w1t_s"], fat_stack["b1t"],
+                    fat_stack["w2t_q4" if i4 else "w2t_q"],
+                    fat_stack["w2t_s"],
                     config.num_experts, layer_idx=li,
-                    out_dtype=jnp.float32, hidden_act=config.hidden_act)
+                    out_dtype=jnp.float32, hidden_act=config.hidden_act,
+                    int4=i4)
                 y = y + comb @ lp["ffn"]["experts"]["b2"].astype(jnp.float32)
                 return (h2 + y.astype(h2.dtype))[:, None, :], new_layer_cache
             h = h2[:, None, :]

@@ -32,7 +32,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from apertis_llm_tpu.models.quantize import quantize_weight
+from apertis_llm_tpu.models.quantize import (quantize_weight,
+                                             quantize_weight_int4)
 
 Params = Dict[str, jnp.ndarray]
 
@@ -75,7 +76,7 @@ def fuse_moe_decode_params(experts: Params) -> Params:
     return fn(experts)
 
 
-def _fuse_one_fat(experts: Params) -> Params:
+def _fuse_one_fat(experts: Params, bits: int = 8) -> Params:
     """Combine-folded two-fat-2D-GEMM layout for one layer's expert stack.
 
     The dense all-expert combine sum re-associates into two PLAIN 2D GEMMs
@@ -103,17 +104,37 @@ def _fuse_one_fat(experts: Params) -> Params:
     w1f = ln_w[:, :, None] * w1
     b1f = b1 + jnp.einsum("eh,ehi->ei", ln_b, w1)     # (E, I)
     w1_flat = jnp.transpose(w1f, (1, 0, 2)).reshape(h, e * i)
-    q1, s1 = quantize_weight(w1_flat)                 # scales (1, E*I)
-
     w2_flat = _dequant(experts, "w2").reshape(e * i, h)
+    if bits == 4:
+        # w4a8 serving (APERTIS_QUANT_BITS=4): the fat stacks — the MoE
+        # decode step's dominant weight traffic — store nibble-packed int4
+        # (models/quantize.quantize_weight_int4), unpacked in VMEM by the
+        # fat kernel. Expert storage itself stays int8/bf16: prefill's
+        # ragged path and training never see packed weights.
+        q1, s1 = quantize_weight_int4(w1_flat)        # (H/2, E*I)
+        q2, s2 = quantize_weight_int4(w2_flat)        # (E*I/2, H)
+        return {"w1t_q4": q1, "w1t_s": s1, "b1t": b1f.reshape(e * i),
+                "w2t_q4": q2, "w2t_s": s2}
+    q1, s1 = quantize_weight(w1_flat)                 # scales (1, E*I)
     q2, s2 = quantize_weight(w2_flat)                 # scales (1, H) shared
     return {"w1t_q": q1, "w1t_s": s1, "b1t": b1f.reshape(e * i),
             "w2t_q": q2, "w2t_s": s2}
 
 
-def fuse_moe_decode_params_fat(experts: Params) -> Params:
+def fuse_moe_decode_params_fat(experts: Params, bits: int | None = None) -> Params:
     """Layer-stacked variant of :func:`_fuse_one_fat`."""
-    fn = _fuse_one_fat
+    import functools
+    import os
+
+    if bits is None:
+        bits = 4 if os.environ.get("APERTIS_QUANT_BITS", "8") == "4" else 8
+    h = experts["ln_w"].shape[-1]
+    i = (experts["w1_q"].shape[-1] if "w1_q" in experts
+         else experts["w1"].shape[-1])
+    e = experts["ln_w"].shape[-2]
+    if bits == 4 and (h % 128 or (e * i) % 128):
+        bits = 8  # packing needs 128-aligned contractions; fall back
+    fn = functools.partial(_fuse_one_fat, bits=bits)
     for _ in range(experts["ln_w"].ndim - 2):
         fn = jax.vmap(fn)
     return fn(experts)

@@ -54,42 +54,58 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale.astype(jnp.float32)
 
 
+INT4_GROUP = 128  # contraction rows per packing group (see below)
+
+
 def quantize_weight_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-output-channel int4: w ~= unpack(w_q4) * w_s.
+    """Symmetric per-output-channel int4: w ~= unpack_int4(w_q4) * w_s.
 
     Values quantize to [-7, 7] with scale = absmax/7. Two 4-bit values pack
-    into one int8 byte PAIRED ALONG THE CONTRACTION AXIS with stride in/2:
-    row i of the packed tensor holds row i in its low nibble and row
-    i + in/2 in its high nibble — consumers split the contraction instead
-    of interleaving (dot(x[:, :in/2], low) + dot(x[:, in/2:], high)), which
-    needs no lane/sublane gather in Mosaic. The contraction axis (-2) must
-    be even."""
+    into one int8 byte paired WITHIN each 128-row contraction group: byte
+    row ``128g + j`` (j < 64) holds contraction row ``128g + j`` in its low
+    nibble and row ``128g + j + 64`` in its high nibble. Group-local
+    pairing means any contraction slice aligned to 128 rows unpacks
+    independently — the fused decode kernels can tile the contraction
+    (GEMM2 streams 128-multiple hidden tiles) without a tile ever needing
+    another tile's nibble partner, and the unpack is a sublane-block
+    interleave (multiples of 64 rows), never a lane/sublane gather. The
+    contraction axis (-2) must be a multiple of 128."""
+    k = w.shape[-2]
+    if k % INT4_GROUP:
+        raise ValueError(f"int4 contraction axis must be a multiple of "
+                         f"{INT4_GROUP}, got {k}")
     absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
-    k = w.shape[-2]
-    lo = jax.lax.slice_in_dim(q, 0, k // 2, axis=w.ndim - 2)
-    hi = jax.lax.slice_in_dim(q, k // 2, k, axis=w.ndim - 2)
+    lead = w.shape[:-2]
+    n = w.shape[-1]
+    g = q.reshape(lead + (k // INT4_GROUP, 2, INT4_GROUP // 2, n))
+    lo, hi = g[..., 0, :, :], g[..., 1, :, :]
     packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
-    return packed, scale.astype(jnp.float32)
+    return packed.reshape(lead + (k // 2, n)), scale.astype(jnp.float32)
 
 
-def unpack_int4(packed: jnp.ndarray, axis: int = -2
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Split a packed int4 tensor into its (low, high) int8 halves
-    (contraction rows [0:in/2] and [in/2:in])."""
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Invert :func:`quantize_weight_int4`'s packing: (..., in/2, out) int8
+    bytes -> (..., in, out) int8 values in [-7, 7]. Pure reshape/arithmetic
+    (group-local sublane interleave), usable both from XLA and inside a
+    Pallas kernel body."""
+    lead = packed.shape[:-2]
+    kh, n = packed.shape[-2], packed.shape[-1]
     p = packed.astype(jnp.int32)
     lo = ((p << 28) >> 28).astype(jnp.int8)   # sign-extend low nibble
     hi = (p >> 4).astype(jnp.int8)            # arithmetic: sign-extends
-    return lo, hi
+    half = INT4_GROUP // 2
+    lo = lo.reshape(lead + (kh // half, 1, half, n))
+    hi = hi.reshape(lead + (kh // half, 1, half, n))
+    full = jnp.concatenate([lo, hi], axis=-3)
+    return full.reshape(lead + (2 * kh, n))
 
 
 def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
                     dtype=jnp.float32) -> jnp.ndarray:
     """Reconstruct the full (in, out) weight (XLA fallback path)."""
-    lo, hi = unpack_int4(packed)
-    full = jnp.concatenate([lo, hi], axis=packed.ndim - 2)
-    return full.astype(dtype) * scale.astype(dtype)
+    return unpack_int4(packed).astype(dtype) * scale.astype(dtype)
 
 
 def quantize_params(params: Params, min_size: int = 1 << 16,
@@ -103,13 +119,15 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
 
     if quantize_vision is None:
         quantize_vision = os.environ.get("APERTIS_QUANT_VIT", "0") == "1"
-    # Opt-in w4a8: FFN-side weights (the decode step's dominant weight
-    # traffic: dense-FFN w1/w2, SwiGLU, MoE expert stacks) store int4
-    # instead of int8 (APERTIS_QUANT_BITS=4). Mixer projections, routers
-    # and the head stay int8 — they are small and quality-sensitive.
+    # Opt-in w4a8 (APERTIS_QUANT_BITS=4): dense-FFN / SwiGLU weights — the
+    # dense decode step's dominant weight traffic — store int4 instead of
+    # int8. Mixer projections, routers and the head stay int8 (small and
+    # quality-sensitive); MoE EXPERT stacks also stay int8 here — their
+    # int4 serving form is the fat decode stack, quantized to int4 at
+    # attach time (models/moe_fuse.py), so training/prefill expert paths
+    # never see packed weights.
     int4_ffn = os.environ.get("APERTIS_QUANT_BITS", "8") == "4"
-    _INT4_SLOTS = {("w1", "experts"), ("w2", "experts"),
-                   ("w", "w1"), ("w", "w2"),
+    _INT4_SLOTS = {("w", "w1"), ("w", "w2"),
                    ("w", "w_gate"), ("w", "w_up"), ("w", "w_down")}
 
     def walk(tree, name):

@@ -268,7 +268,16 @@ def moe_dense_fat(
     xq, xs = quantize_rows(xf - mean)
     xs = xs * inv
 
-    acc1 = jax.lax.dot_general(xq, fat["w1t_q"], (((1,), (0,)), ((), ())),
+    if "w1t_q4" in fat:
+        # int4-packed fat stacks: unpack in-graph (XLA fuses the nibble
+        # arithmetic into the dot operand load; the kernel path consumes
+        # the packed form directly).
+        from apertis_llm_tpu.models.quantize import unpack_int4
+
+        w1t, w2t = unpack_int4(fat["w1t_q4"]), unpack_int4(fat["w2t_q4"])
+    else:
+        w1t, w2t = fat["w1t_q"], fat["w2t_q"]
+    acc1 = jax.lax.dot_general(xq, w1t, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)  # (S, E*I)
     hidden = act_fn(acc1.astype(jnp.float32) * xs
                     * fat["w1t_s"].astype(jnp.float32) + fat["b1t"])
@@ -277,7 +286,7 @@ def moe_dense_fat(
     hidden = hidden * jnp.repeat(combine, ei // num_experts, axis=1)
 
     hq, hs = quantize_rows(hidden)
-    acc2 = jax.lax.dot_general(hq, fat["w2t_q"], (((1,), (0,)), ((), ())),
+    acc2 = jax.lax.dot_general(hq, w2t, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)  # (S, H)
     out = (acc2.astype(jnp.float32) * hs * fat["w2t_s"].astype(jnp.float32)
            + combine @ expert_params["b2"].astype(jnp.float32))
@@ -327,10 +336,12 @@ def moe_dense_fat_kernel(
     xs = xs * inv
 
     combine = _combine_weights(routing, num_experts, jnp.float32, active_mask)
+    int4 = "w1t_q4" in fat
     out = expert_ffn_fat(
-        xq, xs, combine, fat["w1t_q"], fat["w1t_s"], fat["b1t"],
-        fat["w2t_q"], fat["w2t_s"], num_experts, layer_idx=layer_idx,
-        out_dtype=jnp.float32, hidden_act=hidden_act)
+        xq, xs, combine, fat["w1t_q4" if int4 else "w1t_q"], fat["w1t_s"],
+        fat["b1t"], fat["w2t_q4" if int4 else "w2t_q"], fat["w2t_s"],
+        num_experts, layer_idx=layer_idx,
+        out_dtype=jnp.float32, hidden_act=hidden_act, int4=int4)
     out = out + combine @ expert_params["b2"].astype(jnp.float32)
     return out.astype(x.dtype)
 

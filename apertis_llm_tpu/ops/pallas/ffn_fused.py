@@ -38,7 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 from apertis_llm_tpu.ops.pallas.moe_ffn import kernel_activation
 
 
-def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
+def _maybe_unpack(w, int4):
+    """int4 mode: weight blocks arrive nibble-PACKED (in/2, n) and unpack
+    to int8 in VMEM (models/quantize.unpack_int4's group-128 interleave —
+    pure reshape/shift ops, Mosaic-lowerable). The DMA from HBM moves half
+    the bytes; the VPU unpack overlaps the (halved) weight stream on a
+    DMA-bound kernel."""
+    if not int4:
+        return w
+    from apertis_llm_tpu.models.quantize import unpack_int4
+
+    return unpack_int4(w)
+
+
+def _kernel(act_fn, int4, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
             w2q_ref, w2s_ref, b2_ref, out_ref, acc_ref):
     ni = pl.program_id(0)
 
@@ -48,7 +61,7 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
 
     xq = xq_ref[:]                                    # (S, H) int8 resident
     acc1 = jax.lax.dot_general(
-        xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+        xq, _maybe_unpack(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)             # (S, BN)
     # Biases arrive in their native (bf16) dtype and are cast here in VMEM:
     # an .astype on the host side would materialise a full-stack f32 copy
@@ -64,7 +77,7 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
     hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
 
     acc2 = jax.lax.dot_general(
-        hq, w2q_ref[0], (((1,), (0,)), ((), ())),
+        hq, _maybe_unpack(w2q_ref[0], int4), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)             # (S, H)
     acc_ref[:] += acc2.astype(jnp.float32) * hs
 
@@ -74,9 +87,9 @@ def _kernel(act_fn, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
                       + b2_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _kernel_pipelined(act_fn, n_tiles, lidx_ref, xq_ref, xs_ref, w1q_ref,
-                      w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref, out_ref,
-                      acc_ref, hq_ref, hs_ref):
+def _kernel_pipelined(act_fn, n_tiles, int4, lidx_ref, xq_ref, xs_ref,
+                      w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
+                      out_ref, acc_ref, hq_ref, hs_ref):
     """Software-pipelined dense-FFN kernel (the moe_ffn.py transform):
     GEMM2 for tile ``ni-1`` issues before tile ``ni``'s VPU epilogue, so the
     MXU never waits on the dequant/act/requant chain; grid runs one extra
@@ -90,7 +103,7 @@ def _kernel_pipelined(act_fn, n_tiles, lidx_ref, xq_ref, xs_ref, w1q_ref,
     @pl.when(ni < n_tiles)
     def _():
         acc1 = jax.lax.dot_general(
-            xq_ref[:], w1q_ref[0], (((1,), (0,)), ((), ())),
+            xq_ref[:], _maybe_unpack(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, BN)
         h = (acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0]
              + b1_ref[0].astype(jnp.float32))
@@ -103,7 +116,8 @@ def _kernel_pipelined(act_fn, n_tiles, lidx_ref, xq_ref, xs_ref, w1q_ref,
     @pl.when(ni > 0)
     def _():
         acc2 = jax.lax.dot_general(
-            hq_ref[(ni - 1) % 2], w2q_ref[0], (((1,), (0,)), ((), ())),
+            hq_ref[(ni - 1) % 2], _maybe_unpack(w2q_ref[0], int4),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs_ref[(ni - 1) % 2]
 
@@ -126,16 +140,18 @@ def _pick_block_n(i: int, target: int) -> int:
 def ffn_decode_fused(
     xq: jnp.ndarray,      # (S, H) int8 per-row-quantized input
     xs: jnp.ndarray,      # (S, 1) float32 activation scales
-    w1_q: jnp.ndarray,    # (H, I) or layer-stacked (L, H, I) int8
+    w1_q: jnp.ndarray,    # (H, I) or layer-stacked (L, H, I) int8;
+                          #   int4 mode: (H/2, I) / (L, H/2, I) packed
     w1_s: jnp.ndarray,    # (1, I) / (L, 1, I) float32
     b1: jnp.ndarray,      # (I,) / (L, I)
-    w2_q: jnp.ndarray,    # (I, H) / (L, I, H) int8
+    w2_q: jnp.ndarray,    # (I, H) / (L, I, H) int8; int4: (I/2, H) packed
     w2_s: jnp.ndarray,    # (1, H) / (L, 1, H) float32
     b2: jnp.ndarray,      # (H,) / (L, H)
     layer_idx=None,       # required iff weights are layer-stacked
     out_dtype=jnp.bfloat16,
     hidden_act: str = "gelu",
     block_n=None,
+    int4: bool = False,   # weights are int4 nibble-packed (quantize.py)
 ):
     """Whole-FFN output (S, H) = act(xq@w1 + b1) @ w2 + b2 with the hidden
     tile resident in VMEM. Returns None-equivalent never: caller gates
@@ -150,6 +166,7 @@ def ffn_decode_fused(
         layer_idx = 0
     nl, _, i = w1_q.shape
     bn = _pick_block_n(i, block_n)
+    kdiv = 2 if int4 else 1   # packed contraction rows per weight byte row
     sp = -(-s // 32) * 32                              # int8 sublane multiple
     if sp != s:
         xq = jnp.pad(xq, ((0, sp - s), (0, 0)))
@@ -163,7 +180,7 @@ def ffn_decode_fused(
         last = n_tiles - 1
         w1_map = lambda ni, li: (li[0], 0, jnp.minimum(ni, last))
         w2_map = lambda ni, li: (li[0], jnp.maximum(ni - 1, 0), 0)
-        kernel = functools.partial(_kernel_pipelined, act_fn, n_tiles)
+        kernel = functools.partial(_kernel_pipelined, act_fn, n_tiles, int4)
         scratch = [pltpu.VMEM((sp, h), jnp.float32),
                    pltpu.VMEM((2, sp, bn), jnp.int8),
                    pltpu.VMEM((2, sp, 1), jnp.float32)]
@@ -171,7 +188,7 @@ def ffn_decode_fused(
         grid = (n_tiles,)
         w1_map = lambda ni, li: (li[0], 0, ni)
         w2_map = lambda ni, li: (li[0], ni, 0)
-        kernel = functools.partial(_kernel, act_fn)
+        kernel = functools.partial(_kernel, act_fn, int4)
         scratch = [pltpu.VMEM((sp, h), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -182,10 +199,10 @@ def ffn_decode_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sp, 1), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h // kdiv, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, h), w2_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn // kdiv, h), w2_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
@@ -211,17 +228,24 @@ def ffn_decode_fused(
 
 
 def fused_eligible(w1: dict, w2: dict, rows: int) -> bool:
-    """Static dispatch gate for the fused decode FFN: int8-quantized dense
-    weights, decode-scale row counts (the prefill path is compute-bound and
-    XLA's int8 pipeline wins there), tileable intermediate width."""
+    """Static dispatch gate for the fused decode FFN: int8- (or packed
+    int4-) quantized dense weights, decode-scale row counts (the prefill
+    path is compute-bound and XLA's int8 pipeline wins there), tileable
+    intermediate width."""
     mode = os.environ.get("APERTIS_FFN_FUSED", "auto")
     if mode == "0":
         return False
     if not (isinstance(w1, dict) and isinstance(w2, dict)
-            and "w_q" in w1 and "w_q" in w2 and "b" in w1 and "b" in w2):
+            and "b" in w1 and "b" in w2):
         return False
-    i = w1["w_q"].shape[-1]
-    h = w1["w_q"].shape[-2]
+    if "w_q4" in w1 and "w_q4" in w2:
+        wq1, kdiv = w1["w_q4"], 2
+    elif "w_q" in w1 and "w_q" in w2:
+        wq1, kdiv = w1["w_q"], 1
+    else:
+        return False
+    i = wq1.shape[-1]
+    h = wq1.shape[-2] * kdiv
     if h % 128 != 0 or _pick_block_n(
             i, int(os.environ.get("APERTIS_FFN_FUSED_BN", "1216"))) == 0:
         return False

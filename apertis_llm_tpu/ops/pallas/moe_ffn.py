@@ -80,7 +80,21 @@ def kernel_activation(name: str):
     return _KERNEL_ACTS.get(name, _gelu_exact)
 
 
-def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
+def maybe_unpack_int4(w, int4: bool):
+    """int4 mode: the weight block arrives nibble-PACKED (in/2, n) int8 and
+    unpacks to int8 in VMEM (models/quantize.unpack_int4's group-128
+    interleave — reshape/shift/concat only, Mosaic-lowerable). The HBM DMA
+    moves half the bytes; the VPU unpack overlaps the (halved) weight
+    stream on a DMA-bound kernel. Shared by the dense-FFN decode kernel
+    (ops/pallas/ffn_fused.py)."""
+    if not int4:
+        return w
+    from apertis_llm_tpu.models.quantize import unpack_int4
+
+    return unpack_int4(w)
+
+
+def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
                 lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
                 w2q_ref, w2s_ref, out_ref, acc_ref):
     """Combine-folded fused MoE FFN: one grid step per intermediate tile.
@@ -110,7 +124,7 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
 
     xq = xq_ref[:]                                    # (S, H) int8 resident
     acc1 = jax.lax.dot_general(
-        xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+        xq, maybe_unpack_int4(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)             # (S, BN)
     h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
     h = act_fn(h)
@@ -128,7 +142,8 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
         # weights cast to bf16 (integers <= 127 are exact in bf16). Trades
         # the absmax/round/clip VPU passes for a bf16-rate MXU dot.
         acc2 = jax.lax.dot_general(
-            h.astype(jnp.bfloat16), w2q_ref[0].astype(jnp.bfloat16),
+            h.astype(jnp.bfloat16),
+            maybe_unpack_int4(w2q_ref[0], int4).astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (S, H)
         acc_ref[:] += acc2
@@ -138,7 +153,7 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
         hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
 
         acc2 = jax.lax.dot_general(
-            hq, w2q_ref[0], (((1,), (0,)), ((), ())),
+            hq, maybe_unpack_int4(w2q_ref[0], int4), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs
 
@@ -147,7 +162,7 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2,
         out_ref[:] = (acc_ref[:] * w2s_ref[0]).astype(out_ref.dtype)
 
 
-def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles,
+def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles, int4,
                           lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref,
                           w1s_ref, b1_ref, w2q_ref, w2s_ref, out_ref,
                           acc_ref, hq_ref, hs_ref):
@@ -178,7 +193,7 @@ def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles,
     def _():
         xq = xq_ref[:]                                # (S, H) int8 resident
         acc1 = jax.lax.dot_general(
-            xq, w1q_ref[0], (((1,), (0,)), ((), ())),
+            xq, maybe_unpack_int4(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, BN)
         h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
         h = act_fn(h)
@@ -196,7 +211,8 @@ def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles,
     @pl.when(ni > 0)
     def _():
         acc2 = jax.lax.dot_general(
-            hq_ref[(ni - 1) % 2], w2q_ref[0], (((1,), (0,)), ((), ())),
+            hq_ref[(ni - 1) % 2], maybe_unpack_int4(w2q_ref[0], int4),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs_ref[(ni - 1) % 2]
 
@@ -221,6 +237,7 @@ def expert_ffn_fat(
     block_n: Optional[int] = None,
     bf16_dot2: Optional[bool] = None,
     pipelined: Optional[bool] = None,
+    int4: bool = False,   # w1t/w2t are int4 nibble-packed (models/quantize)
 ) -> jnp.ndarray:
     """Combined MoE FFN output (S, H); ``combine @ b2`` is added outside."""
     import os
@@ -244,6 +261,7 @@ def expert_ffn_fat(
         layer_idx = 0
     nl, _, ei = w1t_q.shape
     i = ei // num_experts
+    kdiv = 2 if int4 else 1   # packed contraction rows per weight byte row
     # Tile must stay inside one expert and keep the lane dim 128-aligned.
     bn = block_n
     while i % bn != 0 or bn % 128 != 0:
@@ -251,6 +269,8 @@ def expert_ffn_fat(
         if bn < 128:
             bn = 128 if i % 128 == 0 else i
             break
+    if int4 and (bn % 128 or h % 128):
+        raise ValueError("int4 fat kernel needs 128-aligned H and tile")
     tiles_per_expert = max(i // bn, 1)
     sp = -(-s // 32) * 32                             # int8 sublane multiple
     if sp != s:
@@ -273,7 +293,7 @@ def expert_ffn_fat(
             return (li[0], jnp.maximum(ni - 1, 0), 0)
 
         kernel = functools.partial(_fat_kernel_pipelined, act_fn,
-                                   tiles_per_expert, n_tiles)
+                                   tiles_per_expert, n_tiles, int4)
         scratch = [pltpu.VMEM((sp, h), jnp.float32),
                    pltpu.VMEM((2, sp, bn), jnp.int8),
                    pltpu.VMEM((2, sp, 1), jnp.float32)]
@@ -287,7 +307,7 @@ def expert_ffn_fat(
             return (li[0], ni, 0)
 
         kernel = functools.partial(_fat_kernel, act_fn, tiles_per_expert,
-                                   bf16_dot2)
+                                   bf16_dot2, int4)
         scratch = [pltpu.VMEM((sp, h), jnp.float32)]
 
     # Index maps receive the grid ids then the scalar-prefetch refs.
@@ -301,10 +321,10 @@ def expert_ffn_fat(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sp, num_experts), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, bn), w1_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h // kdiv, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, h), w2_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn // kdiv, h), w2_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                          memory_space=pltpu.VMEM),
         ],

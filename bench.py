@@ -94,9 +94,14 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
     )
     t0 = time.perf_counter()
     params = jax.jit(lambda rng: init_params(rng, config))(jax.random.PRNGKey(0))
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from apertis_llm_tpu.models.quantize import quantize_params
 
+        if quant == "int4":
+            # w4a8 serving: dense-FFN/SwiGLU weights pack to int4
+            # (models/quantize.py); the MoE fat stack packs at engine
+            # attach time; mixer/head stay int8.
+            os.environ["APERTIS_QUANT_BITS"] = "4"
         params = jax.jit(quantize_params)(params)
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t0
