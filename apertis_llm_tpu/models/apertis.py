@@ -895,10 +895,42 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
                 jnp.float32),
         }
     heads, head_dim = config.num_attention_heads, config.head_dim
+    if _quant_kv():
+        # int8 KV serving cache (APERTIS_QUANT_KV=1): values quantize
+        # symmetrically per (layer, row, head, slot) with the scale over the
+        # head_dim lane — HALVES the MHA decode step's dominant HBM term
+        # (the full-cache attention read) and the cache's HBM footprint,
+        # doubling servable batch x context. Scales dequantize exactly into
+        # the score/context contractions (ops/attention). The in-flight
+        # token's K/V stay bf16 through the self-term; only the persisted
+        # slots are quantized.
+        return {
+            "k": jnp.zeros((nl, batch_size, heads, max_length, head_dim),
+                           jnp.int8),
+            "k_s": jnp.zeros((nl, batch_size, heads, max_length, 1),
+                             jnp.float32),
+            "v": jnp.zeros((nl, batch_size, heads, max_length, head_dim),
+                           jnp.int8),
+            "v_s": jnp.zeros((nl, batch_size, heads, max_length, 1),
+                             jnp.float32),
+        }
     return {
         "k": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
         "v": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
     }
+
+
+def _quant_kv() -> bool:
+    return os.environ.get("APERTIS_QUANT_KV", "0") == "1"
+
+
+def _quantize_kv(t: jnp.ndarray):
+    """Symmetric per-slot int8: scale over the trailing head_dim axis."""
+    absmax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def prefill(
@@ -949,8 +981,19 @@ def prefill(
 
     if config.attention_type == "selective_ssm":
         new_cache = {"conv": stacked_cache["conv"], "ssm": stacked_cache["ssm"]}
+    elif "k_s" in cache:
+        # int8 KV cache: quantize the prompt's K/V per slot on the way in.
+        kq, ks = _quantize_kv(stacked_cache["k"])
+        vq, vs = _quantize_kv(stacked_cache["v"])
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, 0, 0, 0)),
+            "k_s": jax.lax.dynamic_update_slice(
+                cache["k_s"], ks, (0, 0, 0, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, 0, 0, 0)),
+            "v_s": jax.lax.dynamic_update_slice(
+                cache["v_s"], vs, (0, 0, 0, 0, 0)),
+        }
     else:
-        max_len = cache["k"].shape[3]
         # stacked (nl, B, H, L, Dh) -> write into preallocated ring at [0:L]
         new_cache = {
             "k": jax.lax.dynamic_update_slice(
@@ -960,7 +1003,6 @@ def prefill(
                 cache["v"], stacked_cache["v"].astype(cache["v"].dtype),
                 (0, 0, 0, 0, 0)),
         }
-        del max_len
     return PrefillOutput(logits, new_cache, jnp.asarray(l_total, jnp.int32))
 
 
@@ -1087,13 +1129,18 @@ def decode_step(
         # as a tiny (B, H, 1, Dh) scan ys; ONE dynamic_update_slice after
         # the scan writes every layer's slot column in place.
         valid_cache = valid & (jnp.arange(max_len)[None, :] != t)
+        quant_kv = "k_s" in cache
 
         def body_mha(hc, xs):
-            lp, k_l, v_l, li = xs
+            if quant_kv:
+                lp, k_l, ks_l, v_l, vs_l, li = xs
+            else:
+                lp, k_l, v_l, li = xs
+                ks_l = vs_l = None
             normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
             attn_out, kh, vh = _mha_decode_step(
                 lp["attn"], config, normed, k_l, v_l, pos, valid_cache,
-                cos_t, sin_t)
+                cos_t, sin_t, k_scale=ks_l, v_scale=vs_l)
             hc = hc + attn_out
             normed = _apply_norm(lp["ffn"]["pre_norm"], hc, eps)
             ffn_out, _, _ = _ffn(lp["ffn"], config, normed, training=False,
@@ -1101,19 +1148,35 @@ def decode_step(
                                  dense_stack=dense_stack)
             return hc + ffn_out, (kh, vh)
 
+        arange_l = jnp.arange(config.num_hidden_layers, dtype=jnp.int32)
+        xs_scan = ((layers, cache["k"], cache["k_s"], cache["v"],
+                    cache["v_s"], arange_l) if quant_kv
+                   else (layers, cache["k"], cache["v"], arange_l))
         h, (kh_stack, vh_stack) = jax.lax.scan(
-            body_mha, h,
-            (layers, cache["k"], cache["v"],
-             jnp.arange(config.num_hidden_layers, dtype=jnp.int32)),
+            body_mha, h, xs_scan,
             unroll=_decode_unroll(config.num_hidden_layers))
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], kh_stack.astype(cache["k"].dtype),
-                (0, 0, 0, t, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], vh_stack.astype(cache["v"].dtype),
-                (0, 0, 0, t, 0)),
-        }
+        if quant_kv:
+            kq, ks = _quantize_kv(kh_stack)
+            vq, vs = _quantize_kv(vh_stack)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], kq, (0, 0, 0, t, 0)),
+                "k_s": jax.lax.dynamic_update_slice(
+                    cache["k_s"], ks, (0, 0, 0, t, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vq, (0, 0, 0, t, 0)),
+                "v_s": jax.lax.dynamic_update_slice(
+                    cache["v_s"], vs, (0, 0, 0, t, 0)),
+            }
+        else:
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], kh_stack.astype(cache["k"].dtype),
+                    (0, 0, 0, t, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vh_stack.astype(cache["v"].dtype),
+                    (0, 0, 0, t, 0)),
+            }
         h = _apply_norm(params["final_norm"], h, eps)
         logits = _lm_head(params, h)[:, 0, :]
         return logits, new_cache
@@ -1189,14 +1252,16 @@ def decode_step(
     return logits, new_cache
 
 
-def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t):
+def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t,
+                     k_scale=None, v_scale=None):
     """Single-token MHA step reading the layer's OLD cache slice.
 
     The new token's K/V never touch the cache here: attention runs over
     the stale-slot-masked old slice plus an explicit self-term
     (:func:`ops.attention.decode_attention_selfterm`), and the fresh
     (B, H, 1, Dh) slot is returned for the caller's single post-scan
-    slot-column write."""
+    slot-column write. ``k_scale``/``v_scale`` dequantize an int8 cache
+    (APERTIS_QUANT_KV) inside the attention contractions."""
     b = x.shape[0]
     heads, head_dim = config.num_attention_heads, config.head_dim
     q = _linear(lp["q"], x)
@@ -1210,8 +1275,10 @@ def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t):
         return z.reshape(b, 1, heads, head_dim).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+    out_dtype = jnp.dtype(config.dtype)
     ctx = attn_ops.decode_attention_selfterm(
-        qh, k_l, v_l, kh.astype(k_l.dtype), vh.astype(v_l.dtype), valid_cache)
+        qh, k_l, v_l, kh.astype(out_dtype), vh.astype(out_dtype),
+        valid_cache, k_scale=k_scale, v_scale=v_scale)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, heads * head_dim)
     return _linear(lp["o"], ctx), kh, vh
 

@@ -108,6 +108,8 @@ def decode_attention_selfterm(
     k_new: jnp.ndarray,    # (B, H, 1, Dh) this token's key
     v_new: jnp.ndarray,    # (B, H, 1, Dh) this token's value
     valid_cache: jnp.ndarray,  # (B, Lmax) bool; must EXCLUDE the stale slot
+    k_scale: jnp.ndarray = None,  # (B, H, Lmax, 1): k_cache is int8 * scale
+    v_scale: jnp.ndarray = None,  # (B, H, Lmax, 1): v_cache is int8 * scale
 ) -> jnp.ndarray:
     """Single-token attention over the old cache plus an explicit self-term.
 
@@ -116,21 +118,34 @@ def decode_attention_selfterm(
     (the self column just moves to the end of the reduction) — reorganised
     so a decode step never materialises an updated cache before attending:
     the serving engine writes every layer's new slot with one post-scan
-    slot-column update instead (models/apertis.decode_step)."""
+    slot-column update instead (models/apertis.decode_step).
+
+    With ``k_scale``/``v_scale`` the cache is int8 (APERTIS_QUANT_KV) and
+    dequantizes EXACTLY inside the contractions: per-slot K scales multiply
+    the scores after the dot (scale constant over the contracted head_dim),
+    per-slot V scales fold into the probabilities before the context dot —
+    the int8 payload is what streams from HBM."""
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
+    acc_t = q.dtype
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32) * scale
+        "bhqd,bhkd->bhqk", q, k_cache.astype(acc_t),
+        preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        scores = scores * jnp.swapaxes(k_scale, -1, -2)  # (B, H, 1, Lmax)
     scores = jnp.where(valid_cache[:, None, None, :], scores, NEG_INF)
     self_score = jnp.einsum(
-        "bhqd,bhqd->bhq", q, k_new,
+        "bhqd,bhqd->bhq", q, k_new.astype(acc_t),
         preferred_element_type=jnp.float32)[..., None] * scale  # (B, H, 1, 1)
     m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), self_score)
     probs = jnp.exp(scores - m)
     p_self = jnp.exp(self_score - m)
     denom = jnp.sum(probs, axis=-1, keepdims=True) + p_self
     probs = probs / denom
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache,
+    if v_scale is not None:
+        probs = probs * jnp.swapaxes(v_scale, -1, -2)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(acc_t),
+                     v_cache.astype(acc_t),
                      preferred_element_type=jnp.float32)
     ctx = ctx + (p_self / denom) * v_new.astype(jnp.float32)
-    return ctx.astype(v_cache.dtype)
+    return ctx.astype(v_new.dtype)
