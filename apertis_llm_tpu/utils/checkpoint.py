@@ -15,13 +15,34 @@ directory contains BOTH:
 from __future__ import annotations
 
 import logging
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _fetch_host(tree: Any) -> Any:
+    """Sequential per-leaf device→host fetch of a state pytree.
+
+    Orbax's save path schedules a prioritized CONCURRENT D2H of every leaf
+    ("Scheduling D2H of N prioritized jax.Array"); this environment's
+    tunneled TPU backend wedged indefinitely on that burst at 705M params
+    (67 arrays, observed >1 h with zero progress, process unkillable-safe
+    only by PID). Fetching leaves one at a time with plain ``np.asarray``
+    streams reliably through the same tunnel, and handing orbax host
+    arrays means its async machinery never touches the device.
+    ``APERTIS_CKPT_DEVICE_SAVE=1`` restores the direct orbax-from-device
+    path for environments with a healthy transfer stack.
+    """
+    if os.environ.get("APERTIS_CKPT_DEVICE_SAVE", "0") == "1":
+        return tree
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
 
 def save_checkpoint(
@@ -39,18 +60,20 @@ def save_checkpoint(
     state_dir = ckpt_dir / "state"
     if state_dir.exists():
         shutil.rmtree(state_dir)
+    state_host = _fetch_host(dict(params=state.params,
+                                  opt_state=state.opt_state,
+                                  step=state.step,
+                                  rng=state.rng))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(state_dir, dict(params=state.params,
-                                   opt_state=state.opt_state,
-                                   step=state.step,
-                                   rng=state.rng))
+        ckptr.save(state_dir, state_host)
 
     if export_torch:
         from apertis_llm_tpu.models.convert import save_torch_checkpoint
 
         params_f32 = jax.tree.map(
-            lambda x: x.astype("float32") if hasattr(x, "astype") else x,
-            state.params)
+            lambda x: np.asarray(x, np.float32)
+            if hasattr(x, "astype") else x,
+            state_host["params"])
         save_torch_checkpoint(params_f32, config, ckpt_dir)
     else:
         config.save_pretrained(ckpt_dir)
