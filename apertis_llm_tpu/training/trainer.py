@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from apertis_llm_tpu.config import ApertisConfig
+from apertis_llm_tpu.models.params import count_params
 from apertis_llm_tpu.parallel.mesh import create_mesh
 from apertis_llm_tpu.parallel.sharding import check_divisibility, shard_params
 from apertis_llm_tpu.training.datasets import BatchLoader
@@ -301,12 +302,21 @@ class ApertisTrainer:
         global_step = 0
         history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
 
-        from apertis_llm_tpu.utils.profiling import StepTimer, trace
+        from apertis_llm_tpu.utils.profiling import (StepTimer,
+                                                      device_peak_tflops,
+                                                      trace)
 
         timer = StepTimer()
         profiling = False
         tokens_per_step = self.batch_size * getattr(
             self.train_dataset, "max_length", 0)
+        # MFU accounting: 6N model-FLOPs/token (the standard convention —
+        # remat recompute NOT counted, total params incl. tied embedding,
+        # matching docs/EVAL.md's hand calculation) against the chip's
+        # known bf16 peak; skipped when the peak is unknown (plain CPU).
+        peak_tflops = device_peak_tflops()
+        n_model_params = (count_params(self.state.params)
+                          if peak_tflops else 0)
 
         for epoch in range(self.num_epochs):
             if self.stop_event.is_set():
@@ -385,11 +395,20 @@ class ApertisTrainer:
                 stats["step_time_wall_s"] = elapsed / n_steps
                 if tokens_per_step:
                     stats["tokens_per_sec"] = tokens_per_step * n_steps / elapsed
+                    if peak_tflops and n_model_params:
+                        stats["mfu_pct"] = (stats["tokens_per_sec"] * 6.0
+                                            * n_model_params
+                                            / (peak_tflops * 1e12) * 100.0)
+            mfu_txt = (f", {stats['mfu_pct']:.1f}% MFU"
+                       if "mfu_pct" in stats else "")
             logger.info("Epoch %d/%d: loss=%.4f (%.1fs)%s", epoch + 1,
                         self.num_epochs, mean_loss, elapsed,
                         f"  [{stats.get('tokens_per_sec', 0):,.0f} tok/s, "
-                        f"{stats.get('step_time_wall_s', 0)*1e3:.0f} ms/step wall]"
+                        f"{stats.get('step_time_wall_s', 0)*1e3:.0f} ms/step"
+                        f" wall{mfu_txt}]"
                         if stats else "")
+            if stats:
+                history["perf"] = dict(stats)
             if self._wandb and stats:
                 self._wandb.log({f"perf/{k}": v for k, v in stats.items()})
 

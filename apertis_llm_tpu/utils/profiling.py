@@ -62,6 +62,41 @@ class StepTimer:
         return out
 
 
+# Known per-chip bf16 peaks (TFLOP/s) keyed by substrings of
+# ``jax.devices()[0].device_kind``, most-specific first ("v5p" must win
+# over "v5"; v5e reports "TPU v5 lite" / "TPU v5e" depending on runtime).
+_TPU_PEAK_TFLOPS_BF16 = (
+    ("v6", 918.0),  # Trillium
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / v5 litepod
+    ("v4", 275.0),
+)
+
+
+def device_peak_tflops() -> Optional[float]:
+    """Best-known bf16 peak of the local accelerator, for MFU accounting.
+
+    ``APERTIS_PEAK_TFLOPS`` overrides (any backend, incl. CPU test runs);
+    returns None when the device kind is unknown — callers should then
+    skip MFU rather than report one against a made-up peak.
+    """
+    import os
+
+    env = os.environ.get("APERTIS_PEAK_TFLOPS")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            logger.warning("Unparseable APERTIS_PEAK_TFLOPS=%r", env)
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for needle, peak in _TPU_PEAK_TFLOPS_BF16:
+        if needle in kind:
+            return peak
+    return None
+
+
 def annotate(name: str):
     """Named profiler span (shows up in traces)."""
     import jax

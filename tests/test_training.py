@@ -207,3 +207,29 @@ def test_pretrain_dataset_hf_tokenizer(tmp_path):
     assert item["input_ids"].tolist() == [7, 9, 3, 2, 0, 0, 0, 0]
     assert item["attention_mask"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
     assert item["labels"].tolist() == [7, 9, 3, 2, -100, -100, -100, -100]
+
+
+def test_epoch_perf_stats_and_mfu(tmp_path, monkeypatch):
+    """The trainer's epoch summary carries throughput + MFU (vs the chip's
+    known bf16 peak; APERTIS_PEAK_TFLOPS overrides so CPU runs get one)."""
+    from apertis_llm_tpu.training import train_from_config
+    from apertis_llm_tpu.utils.profiling import device_peak_tflops
+
+    monkeypatch.setenv("APERTIS_PEAK_TFLOPS", "0.5")
+    assert device_peak_tflops() == 0.5
+
+    cfg_path, cfg = _write_pretrain_setup(tmp_path, n_items=16)
+    cfg["training_config"]["num_epochs"] = 1
+    cfg_path.write_text(json.dumps(cfg))
+    history = train_from_config(str(cfg_path))
+
+    perf = history["perf"]
+    assert perf["tokens_per_sec"] > 0
+    # mfu = tok/s * 6N / peak; recompute N from the saved config (the same
+    # resolution the pipeline used) against the recorded throughput.
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import count_params, init_params
+    config = ApertisConfig.from_pretrained(str(tmp_path / "out" / "final"))
+    n = count_params(init_params(jax.random.PRNGKey(0), config))
+    expect = perf["tokens_per_sec"] * 6.0 * n / 0.5e12 * 100.0
+    assert perf["mfu_pct"] == pytest.approx(expect, rel=1e-6)
