@@ -430,7 +430,7 @@ class InferenceEngine:
     # KV cache would be read by every attention step). Token-exact with the
     # monolith: same ops, buffer pads are masked exact zeros.
 
-    def _split_enabled(self, has_image: bool) -> bool:
+    def _split_enabled(self) -> bool:
         if os.environ.get("APERTIS_ENGINE_SPLIT", "1") == "0":
             return False
         return self.config.attention_type == "selective_ssm"
@@ -519,7 +519,7 @@ class InferenceEngine:
         kwargs = {}
         if has_image:
             kwargs["pixel_values"] = jnp.asarray(pixel_values)
-        if self._split_enabled(has_image):
+        if self._split_enabled():
             cap = self._decode_cap(gen.max_new_tokens)
             gen_key = gen._replace(max_new_tokens=0, min_new_tokens=0)
             pf = self._get_split_prefill(gen_key, bucket, b, has_image, cap)

@@ -132,8 +132,13 @@ def fuse_moe_decode_params_fat(experts: Params, bits: int | None = None) -> Para
     i = (experts["w1_q"].shape[-1] if "w1_q" in experts
          else experts["w1"].shape[-1])
     e = experts["ln_w"].shape[-2]
-    if bits == 4 and (h % 128 or (e * i) % 128):
-        bits = 8  # packing needs 128-aligned contractions; fall back
+    # int4 needs 128-aligned contractions to PACK (h, e*i) and a
+    # 128-aligned PER-EXPERT intermediate for the fat kernel's tile loop
+    # (ops/pallas/moe_ffn.py picks bn=i when i isn't 128-tileable, which
+    # the int4 unpack rejects at trace time — gate it here instead so
+    # ineligible shapes serve int8).
+    if bits == 4 and (h % 128 or i % 128):
+        bits = 8
     fn = functools.partial(_fuse_one_fat, bits=bits)
     for _ in range(experts["ln_w"].ndim - 2):
         fn = jax.vmap(fn)

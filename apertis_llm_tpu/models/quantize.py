@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
@@ -144,7 +143,11 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
                     and jnp.issubdtype(value.dtype, jnp.floating)
                     and name not in _SKIP_PARENTS):
                 if (int4_ffn and (key, name) in _INT4_SLOTS
-                        and value.shape[-2] % 2 == 0):
+                        # Gate mirrors quantize_weight_int4's real
+                        # constraint (group-local nibble pairing): the
+                        # contraction axis must be 128-aligned, else the
+                        # slot falls back to int8 as designed.
+                        and value.shape[-2] % INT4_GROUP == 0):
                     q4, s = quantize_weight_int4(value)
                     out[key + "_q4"], out[key + "_s"] = q4, s
                 else:

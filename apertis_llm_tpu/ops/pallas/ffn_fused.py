@@ -35,20 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from apertis_llm_tpu.ops.pallas.moe_ffn import kernel_activation
-
-
-def _maybe_unpack(w, int4):
-    """int4 mode: weight blocks arrive nibble-PACKED (in/2, n) and unpack
-    to int8 in VMEM (models/quantize.unpack_int4's group-128 interleave —
-    pure reshape/shift ops, Mosaic-lowerable). The DMA from HBM moves half
-    the bytes; the VPU unpack overlaps the (halved) weight stream on a
-    DMA-bound kernel."""
-    if not int4:
-        return w
-    from apertis_llm_tpu.models.quantize import unpack_int4
-
-    return unpack_int4(w)
+from apertis_llm_tpu.ops.pallas.moe_ffn import (
+    kernel_activation, maybe_unpack_int4 as _maybe_unpack)
 
 
 def _kernel(act_fn, int4, lidx_ref, xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,

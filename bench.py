@@ -188,12 +188,11 @@ def measure_decode(preset: str, quant: str, arch: str, batch: int,
     else:
         n_short, n_long = 16, (1200 if preset != "tiny" else 80)
 
-    import jax as _jax
 
     config, params, n_params, init_s = build_model(preset, quant, arch)
     t0 = time.perf_counter()
     engine = InferenceEngine(config, params)
-    _jax.block_until_ready(engine.params)
+    jax.block_until_ready(engine.params)
     engine_s = time.perf_counter() - t0
     log(f"engine build (fused packs + int8 head): {engine_s:.1f}s")
 

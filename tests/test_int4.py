@@ -208,3 +208,46 @@ def test_decode_step_int4_routes_and_matches_xla():
     assert err < 3e-2, err
     assert jnp.array_equal(jnp.argmax(logits_plain, -1),
                            jnp.argmax(logits_fused, -1))
+
+
+def test_quantize_params_int4_misaligned_falls_back_to_int8():
+    """A dense-FFN weight whose contraction dim is even but NOT 128-aligned
+    (e.g. hidden 192) must fall back to int8 instead of crashing — the
+    eligibility gate mirrors quantize_weight_int4's group constraint."""
+    from apertis_llm_tpu.config import ApertisConfig
+    from apertis_llm_tpu.models.params import init_params
+
+    config = ApertisConfig(
+        vocab_size=128, hidden_size=192, num_hidden_layers=2,
+        num_attention_heads=8, intermediate_size=256,
+        attention_type="selective_ssm", ssm_d_state=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    params = init_params(jax.random.PRNGKey(0), config)
+    os.environ["APERTIS_QUANT_BITS"] = "4"
+    try:
+        q = quantize_params(params, min_size=0)
+    finally:
+        del os.environ["APERTIS_QUANT_BITS"]
+    ffn = q["layers"]["ffn"]
+    assert "w_q" in ffn["w1"] and "w_q4" not in ffn["w1"]   # int8 fallback
+    # 128-aligned contraction (intermediate=256) still packs int4.
+    assert "w_q4" in ffn["w2"]
+
+
+def test_fat_stack_int4_misaligned_intermediate_falls_back_to_int8():
+    """fuse_moe_decode_params_fat must serve int8 when the PER-EXPERT
+    intermediate isn't 128-tileable (the fat kernel's tile loop would pick
+    bn=i and the int4 unpack rejects it at trace time)."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    r = np.random.default_rng(7)
+    e, h, i = 4, 128, 192     # e*i = 768 is 128-aligned; i itself is not
+    experts = {
+        "ln_w": jnp.asarray(r.standard_normal((e, h)), jnp.float32),
+        "ln_b": jnp.asarray(r.standard_normal((e, h)), jnp.float32),
+        "w1": jnp.asarray(r.standard_normal((e, h, i)) * 0.05, jnp.float32),
+        "b1": jnp.asarray(r.standard_normal((e, i)) * 0.01, jnp.float32),
+        "w2": jnp.asarray(r.standard_normal((e, i, h)) * 0.05, jnp.float32),
+    }
+    fat = fuse_moe_decode_params_fat(experts, bits=4)
+    assert "w1t_q" in fat and "w1t_q4" not in fat
