@@ -373,6 +373,17 @@ class InferenceEngine:
 
             if tree_is_quantized(self.params):
                 attach_steps.append(quantize_tied_head)
+        if (mesh is None
+                and os.environ.get("APERTIS_QUANT_BITS", "8") == "4"
+                and not config.use_swiglu
+                and not (config.use_expert_system and config.num_experts > 0)):
+            # w4a8: int4 decode copy of the dense FFN (models/quantize.
+            # attach_int4_ffn). Prefill keeps the int8 tree — the packed
+            # form is decode-only (in-graph unpacks measurably poisoned
+            # the prefill program's compile time and latency).
+            from apertis_llm_tpu.models.quantize import attach_int4_ffn
+
+            attach_steps.append(attach_int4_ffn)
         if (config.attention_type == "selective_ssm" and mesh is None
                 and os.environ.get("APERTIS_SSM_STEP", "auto") != "0"):
             # Fused SSM decode-step weight pack (models/ssm_fuse.py): a

@@ -1106,12 +1106,26 @@ def decode_step(
 
         ffn_p = layers.get("ffn", {}) if isinstance(
             layers.get("ffn"), dict) else {}
-        if (_par_current().mesh is None
-                and fused_eligible(ffn_p.get("w1"), ffn_p.get("w2"), b)):
-            dense_stack = {"w1": ffn_p["w1"], "w2": ffn_p["w2"]}
+        # The attach-time int4 decode pack (models/quantize.attach_int4_ffn,
+        # APERTIS_QUANT_BITS=4) is ALWAYS removed from the scanned tree —
+        # scan xs would slice it per layer — and preferred over the int8
+        # stacks when the fused kernel dispatch accepts it.
+        w4 = ffn_p.get("w4")
+        if w4 is not None:
             layers = dict(layers)
             layers["ffn"] = {k: v for k, v in layers["ffn"].items()
-                             if k not in ("w1", "w2")}
+                             if k != "w4"}
+            ffn_p = layers["ffn"]
+        if _par_current().mesh is None:
+            if w4 is not None and fused_eligible(w4["w1"], w4["w2"], b):
+                dense_stack = w4
+            elif fused_eligible(ffn_p.get("w1"), ffn_p.get("w2"), b):
+                dense_stack = {"w1": ffn_p["w1"], "w2": ffn_p["w2"]}
+        if dense_stack is not None:
+            if "w1" in dense_stack and dense_stack is not w4:
+                layers = dict(layers)
+                layers["ffn"] = {k: v for k, v in layers["ffn"].items()
+                                 if k not in ("w1", "w2")}
             if ssm_stack is not None and "fnorm_w" in ssm_stack:
                 ffn_mode = "dense"
 

@@ -118,16 +118,14 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
 
     if quantize_vision is None:
         quantize_vision = os.environ.get("APERTIS_QUANT_VIT", "0") == "1"
-    # Opt-in w4a8 (APERTIS_QUANT_BITS=4): dense-FFN / SwiGLU weights — the
-    # dense decode step's dominant weight traffic — store int4 instead of
-    # int8. Mixer projections, routers and the head stay int8 (small and
-    # quality-sensitive); MoE EXPERT stacks also stay int8 here — their
-    # int4 serving form is the fat decode stack, quantized to int4 at
-    # attach time (models/moe_fuse.py), so training/prefill expert paths
-    # never see packed weights.
-    int4_ffn = os.environ.get("APERTIS_QUANT_BITS", "8") == "4"
-    _INT4_SLOTS = {("w", "w1"), ("w", "w2"),
-                   ("w", "w_gate"), ("w", "w_up"), ("w", "w_down")}
+    # int4 is a DECODE-ONLY format: packing it into the base tree (an
+    # earlier round-4 layout) fed packed weights to the compute-bound
+    # prefill graph, whose in-graph unpacks blew the TTFT program's XLA
+    # compile up to 1,522 s and regressed device TTFT ~930 -> 1,777 ms
+    # (measured, 1.5B b256). The engine instead attaches an int4 decode
+    # pack alongside the int8 tree (attach_int4_ffn below, the MoE
+    # analogue being models/moe_fuse.py's fat stack) so prefill always
+    # reads int8.
 
     def walk(tree, name):
         if not isinstance(tree, dict):
@@ -142,17 +140,8 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
                     and value.size >= min_size
                     and jnp.issubdtype(value.dtype, jnp.floating)
                     and name not in _SKIP_PARENTS):
-                if (int4_ffn and (key, name) in _INT4_SLOTS
-                        # Gate mirrors quantize_weight_int4's real
-                        # constraint (group-local nibble pairing): the
-                        # contraction axis must be 128-aligned, else the
-                        # slot falls back to int8 as designed.
-                        and value.shape[-2] % INT4_GROUP == 0):
-                    q4, s = quantize_weight_int4(value)
-                    out[key + "_q4"], out[key + "_s"] = q4, s
-                else:
-                    q, s = quantize_weight(value)
-                    out[key + "_q"], out[key + "_s"] = q, s
+                q, s = quantize_weight(value)
+                out[key + "_q"], out[key + "_s"] = q, s
             elif isinstance(value, dict):
                 out[key] = walk(value, key)
             else:
@@ -160,6 +149,43 @@ def quantize_params(params: Params, min_size: int = 1 << 16,
         return out
 
     return walk(params, "")
+
+
+def attach_int4_ffn(params: Params, config=None) -> Params:
+    """Attach a nibble-packed int4 DECODE copy of the dense-FFN weights
+    (w4a8 serving, ``APERTIS_QUANT_BITS=4``).
+
+    The pack lives under ``layers.ffn["w4"]`` next to the int8 tree:
+    prefill/training keep reading int8 (packing int4 into the base tree
+    fed in-graph unpacks to the compute-bound prefill program — measured
+    1,522 s TTFT-program compile and ~930 -> 1,777 ms device TTFT at 1.5B
+    b256), while decode_step hoists the pack and feeds the fused decode
+    kernels the packed form for the halved weight DMA. Values requantize
+    from the int8 tree (w_q * w_s -> 4-bit grid; the extra <=half-int8
+    step of error is far below the int4 step). No-op unless the tree is a
+    dense-FFN int8 layout with 128-aligned contractions (the MoE analogue
+    packs in models/moe_fuse.py; SwiGLU trees stay int8 — no fused decode
+    kernel consumes them packed)."""
+    ffn = params.get("layers", {}).get("ffn")
+    if not isinstance(ffn, dict) or "w4" in ffn:
+        return params
+    w1, w2 = ffn.get("w1"), ffn.get("w2")
+    if not all(isinstance(w, dict) and "w_q" in w and "b" in w
+               for w in (w1, w2)):
+        return params
+    if (w1["w_q"].shape[-2] % INT4_GROUP
+            or w2["w_q"].shape[-2] % INT4_GROUP):
+        return params
+    pack = {}
+    for name, w in (("w1", w1), ("w2", w2)):
+        q4, s = quantize_weight_int4(
+            w["w_q"].astype(jnp.float32) * w["w_s"])
+        pack[name] = {"w_q4": q4, "w_s": s, "b": w["b"]}
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["ffn"] = dict(ffn)
+    out["layers"]["ffn"]["w4"] = pack
+    return out
 
 
 def tree_is_quantized(params: Params) -> bool:

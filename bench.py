@@ -94,6 +94,10 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
     )
     t0 = time.perf_counter()
     params = jax.jit(lambda rng: init_params(rng, config))(jax.random.PRNGKey(0))
+    # Logical model size from the UNQUANTIZED tree: int8 swaps each weight
+    # for same-size {w_q, w_s} but int4 nibble-packs (half the elements),
+    # which would understate the metric label's parameter count.
+    n_params = count_params(params)
     if quant in ("int8", "int4"):
         from apertis_llm_tpu.models.quantize import quantize_params
 
@@ -105,7 +109,6 @@ def build_model(preset: str, quant: str, arch: str = "ssm"):
         params = jax.jit(quantize_params)(params)
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t0
-    n_params = count_params(params)
     log(f"model init: {n_params/1e9:.3f}B params "
         f"({quant or 'bf16'}) in {init_s:.1f}s "
         f"on {jax.devices()[0].platform}")

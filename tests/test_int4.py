@@ -66,11 +66,13 @@ def test_linear_int4_fallback_matches_dequant():
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
 
 
-def test_quantize_params_int4_slots():
-    """APERTIS_QUANT_BITS=4 packs dense-FFN weights; mixer/experts stay
-    int8."""
+def test_attach_int4_ffn_pack():
+    """w4a8 is a DECODE-ONLY format: quantize_params stays int8 (prefill
+    reads int8 — in-graph unpacks poisoned the prefill compile, docs) and
+    attach_int4_ffn adds the packed decode copy under layers.ffn["w4"]."""
     from apertis_llm_tpu.config import ApertisConfig
     from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.models.quantize import attach_int4_ffn
 
     config = ApertisConfig(
         vocab_size=128, hidden_size=128, num_hidden_layers=2,
@@ -84,9 +86,15 @@ def test_quantize_params_int4_slots():
     finally:
         del os.environ["APERTIS_QUANT_BITS"]
     ffn = q["layers"]["ffn"]
-    assert "w_q4" in ffn["w1"] and "w_q4" in ffn["w2"]
-    assert ffn["w1"]["w_q4"].shape[-2] == 128 // 2
-    assert "w_q" in q["layers"]["attn"]["in_proj_x"]  # mixer stays int8
+    assert "w_q" in ffn["w1"] and "w_q4" not in ffn["w1"]   # base stays int8
+    q = attach_int4_ffn(q)
+    pack = q["layers"]["ffn"]["w4"]
+    assert pack["w1"]["w_q4"].shape[-2] == 128 // 2
+    assert pack["w2"]["w_q4"].shape[-2] == 256 // 2
+    # idempotent; int8 base untouched; mixer stays int8
+    assert attach_int4_ffn(q) is q or "w4" in attach_int4_ffn(q)["layers"]["ffn"]
+    assert "w_q" in q["layers"]["ffn"]["w1"]
+    assert "w_q" in q["layers"]["attn"]["in_proj_x"]
 
 
 def _ffn_int4_reference(xq, xs, w1p, w1s, b1, w2p, w2s, b2, li):
@@ -182,17 +190,26 @@ def test_decode_step_int4_routes_and_matches_xla():
         attention_type="selective_ssm", ssm_d_state=16,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         max_position_embeddings=64)
+    from apertis_llm_tpu.models.quantize import attach_int4_ffn
+
     params = init_params(jax.random.PRNGKey(0), config)
-    os.environ["APERTIS_QUANT_BITS"] = "4"
-    try:
-        qparams = quantize_params(params, min_size=0)
-    finally:
-        del os.environ["APERTIS_QUANT_BITS"]
+    qparams = attach_int4_ffn(quantize_params(params, min_size=0))
+    assert "w4" in qparams["layers"]["ffn"]
     cache = model_lib.init_cache(config, 4, max_length=16)
     toks = jnp.asarray([3, 5, 7, 9], jnp.int32)
     t = jnp.asarray(0, jnp.int32)
 
-    logits_plain, _ = model_lib.decode_step(qparams, config, cache, toks, t)
+    # int4-XLA reference: the SAME packed weights in the main FFN slots
+    # (dense_stack stands down off-TPU, so _linear's in-graph unpack runs).
+    xla_params = dict(qparams)
+    xla_params["layers"] = dict(qparams["layers"])
+    ffn_xla = {k: v for k, v in qparams["layers"]["ffn"].items()
+               if k not in ("w1", "w2", "w4")}
+    pack = qparams["layers"]["ffn"]["w4"]
+    ffn_xla["w1"], ffn_xla["w2"] = pack["w1"], pack["w2"]
+    xla_params["layers"]["ffn"] = ffn_xla
+    logits_plain, _ = model_lib.decode_step(xla_params, config, cache,
+                                            toks, t)
     os.environ["APERTIS_FFN_FUSED"] = "force"
     try:
         jaxpr = jax.make_jaxpr(
@@ -210,12 +227,13 @@ def test_decode_step_int4_routes_and_matches_xla():
                            jnp.argmax(logits_fused, -1))
 
 
-def test_quantize_params_int4_misaligned_falls_back_to_int8():
-    """A dense-FFN weight whose contraction dim is even but NOT 128-aligned
-    (e.g. hidden 192) must fall back to int8 instead of crashing — the
-    eligibility gate mirrors quantize_weight_int4's group constraint."""
+def test_attach_int4_ffn_misaligned_is_noop():
+    """Contraction dims that aren't 128-aligned (e.g. hidden 192) must
+    leave the tree untouched — int8 decode — instead of crashing (the
+    attach gate mirrors quantize_weight_int4's group constraint)."""
     from apertis_llm_tpu.config import ApertisConfig
     from apertis_llm_tpu.models.params import init_params
+    from apertis_llm_tpu.models.quantize import attach_int4_ffn
 
     config = ApertisConfig(
         vocab_size=128, hidden_size=192, num_hidden_layers=2,
@@ -223,15 +241,9 @@ def test_quantize_params_int4_misaligned_falls_back_to_int8():
         attention_type="selective_ssm", ssm_d_state=16,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     params = init_params(jax.random.PRNGKey(0), config)
-    os.environ["APERTIS_QUANT_BITS"] = "4"
-    try:
-        q = quantize_params(params, min_size=0)
-    finally:
-        del os.environ["APERTIS_QUANT_BITS"]
-    ffn = q["layers"]["ffn"]
-    assert "w_q" in ffn["w1"] and "w_q4" not in ffn["w1"]   # int8 fallback
-    # 128-aligned contraction (intermediate=256) still packs int4.
-    assert "w_q4" in ffn["w2"]
+    q = attach_int4_ffn(quantize_params(params, min_size=0))
+    assert "w4" not in q["layers"]["ffn"]
+    assert "w_q" in q["layers"]["ffn"]["w1"]
 
 
 def test_fat_stack_int4_misaligned_intermediate_falls_back_to_int8():

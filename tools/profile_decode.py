@@ -9,7 +9,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax, jax.numpy as jnp
 
-ARCH = os.environ.get("PROF_ARCH", "ssm")
+ARCH = os.environ.get("PROF_ARCH", "ssm")   # ssm | moe | mha
 TAG = os.environ.get("PROF_TAG", ARCH)
 OUT = f"/tmp/prof_decode_{TAG}"
 STEPS = int(os.environ.get("PROF_STEPS", "64"))
@@ -28,7 +28,9 @@ kw = dict(hidden_size=dims["hidden_size"],
 if ARCH == "moe":
     kw.update(use_expert_system=True, num_experts=8, experts_per_token=2)
 config = ApertisConfig(
-    vocab_size=32000, attention_type="selective_ssm", ssm_d_state=16,
+    vocab_size=32000,
+    attention_type="standard_mha" if ARCH == "mha" else "selective_ssm",
+    use_flash_attention=(ARCH == "mha"), ssm_d_state=16,
     multimodal=False, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     max_position_embeddings=4096, dtype="bfloat16", param_dtype="bfloat16", **kw)
 print("dims:", dims, flush=True)
@@ -39,10 +41,11 @@ jax.block_until_ready(params)
 print(f"init {time.perf_counter()-t0:.0f}s arch={ARCH}", flush=True)
 engine = InferenceEngine(config, params)
 
-B = 256
+B = int(os.environ.get("PROF_BATCH", "64" if ARCH == "mha" else "256"))
+LP = int(os.environ.get("PROF_PROMPT", "256" if ARCH == "mha" else "32"))
 def prompt(seed):
     rr = np.random.default_rng(seed)
-    return rr.integers(4, 32000, size=(B, 32)).astype(np.int32)
+    return rr.integers(4, 32000, size=(B, LP)).astype(np.int32)
 
 def gen(seed, n):
     t0 = time.perf_counter()
