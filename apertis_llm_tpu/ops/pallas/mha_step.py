@@ -1,0 +1,183 @@
+"""Fused MHA decode-attention Pallas kernel over a head-PAIRED KV cache.
+
+The round-4 MHA serving profile (tools/profile_decode.py, PROF_ARCH=mha,
+1.5B b64, 320-slot cache) showed the two decode-attention einsums costing
+11.7 ms of a 15.9 ms step — ~42 % of HBM peak — for two structural
+reasons this kernel removes:
+
+* **Lane padding in HBM.** The (nl, B, H, L, Dh) cache's minor dim is
+  head_dim = 64 < the 128-lane tile, so XLA stores (and streams) the
+  multi-GB cache HALF PADDING (`bf16[...,320,64]{...:T(8,128)}` in the
+  profile). The paired layout packs 128/head_dim adjacent heads into one
+  128-lane block — cache shape (nl, B, H/pairs, L, 128) — so every HBM
+  byte is payload.
+* **f32 probability traffic + unfused mask/softmax chain.** One grid
+  step streams a (pairs-block, L, 128) K/V tile through VMEM once and
+  does score -> mask -> softmax -> context in-register, with the fresh
+  token's self-term folded into the same softmax (the
+  ops/attention.decode_attention_selfterm math, reorganised).
+
+Per-head segment reductions use 0/1 MXU matrices ((128, pairs) to reduce
+scores, (pairs, 128) to expand probabilities) — Mosaic has no lane-
+segment reduce, and all dots here are standard minor-dim contractions,
+so the kernel contains no transposes at all. Each pair's q row is folded
+into the segment matrix (k-tile @ (q_col * seg)), so the (L, 128)
+score product is never materialised and K/V stay bf16 in VMEM.
+
+The layer-stacked cache is indexed by a scalar-prefetched layer id (the
+moe_ffn.py lesson: a dynamic-slice feeding a pallas operand materialises
+a full copy per decode-scan step).
+
+Reference counterpart: src/model/core.py:705-832 (standard MHA decode).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(pairs, scale, lidx_ref, q_ref, qt_ref, kn_ref, vn_ref, bias_ref,
+            seg_ref, segt_ref, k_ref, v_ref, out_ref):
+    p_blk = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)              # (P, 128), pre-scaled
+    qt = qt_ref[0].astype(jnp.float32)            # (128, P), pre-scaled
+    kn = kn_ref[0].astype(jnp.float32)            # (P, 128)
+    bias = bias_ref[0].astype(jnp.float32)        # (L, 1)
+    seg = seg_ref[:]                              # (128, pairs) 0/1 f32
+    segt = segt_ref[:]                            # (pairs, 128)
+
+    # Self-term scores for every pair at once: (P, pairs).
+    s_self = jax.lax.dot_general(
+        q * kn, seg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    ctx_rows = []
+    for p in range(p_blk):
+        k_p = k_ref[0, 0, p]                      # (L, 128) bf16
+        v_p = v_ref[0, 0, p]
+        # Scores via MXU without materialising an (L, 128) product: fold
+        # this pair's q column into the segment matrix.
+        segq = (seg * qt[:, p:p + 1]).astype(k_p.dtype)     # (128, pairs)
+        s = jax.lax.dot_general(
+            k_p, segq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (L, pairs)
+        s = s + bias                                        # mask
+        sp_self = s_self[p:p + 1, :]                        # (1, pairs)
+        m = jnp.maximum(jnp.max(s, axis=0, keepdims=True), sp_self)
+        probs = jnp.exp(s - m)                              # (L, pairs)
+        p_self = jnp.exp(sp_self - m)                       # (1, pairs)
+        denom = jnp.sum(probs, axis=0, keepdims=True) + p_self
+        # Expand per-head probabilities back to their 128-lane segments.
+        pw = jax.lax.dot_general(
+            probs, segt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (L, 128)
+        ctx = jnp.sum(pw * v_p.astype(jnp.float32), axis=0,
+                      keepdims=True)                        # (1, 128)
+        ctx = ctx + jax.lax.dot_general(
+            p_self, segt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * vn_ref[0, p:p + 1, :].astype(jnp.float32)
+        inv = jax.lax.dot_general(
+            1.0 / denom, segt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ctx_rows.append(ctx * inv)
+    out_ref[0] = jnp.concatenate(ctx_rows, axis=0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_dim",))
+def mha_decode_ctx(
+    q: jnp.ndarray,        # (B, P, 128) pair-packed, post-RoPE
+    k_stack: jnp.ndarray,  # (nl, B, P, L, 128)
+    v_stack: jnp.ndarray,  # (nl, B, P, L, 128)
+    k_new: jnp.ndarray,    # (B, P, 128) this token's key (self-term)
+    v_new: jnp.ndarray,    # (B, P, 128)
+    bias_t: jnp.ndarray,   # (B, L, 1) additive f32 (0 valid / NEG invalid)
+    layer_idx,
+    *,
+    head_dim: int,
+) -> jnp.ndarray:
+    """Single-token attention over one layer of the paired cache plus the
+    explicit self-term; returns ctx (B, P, 128)."""
+    b, p_total, _ = q.shape
+    l = k_stack.shape[3]
+    pairs = 128 // head_dim
+    scale = head_dim ** -0.5
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    q_t = jnp.swapaxes(q, 1, 2)                   # (B, 128, P) — tiny
+    eye = jnp.eye(pairs, dtype=jnp.float32)
+    seg = jnp.repeat(eye, head_dim, axis=0)       # (128, pairs)
+    segt = jnp.repeat(eye, head_dim, axis=1)      # (pairs, 128)
+
+    def rows(*dims):
+        return pl.BlockSpec((1,) + dims, lambda bi, li: (bi,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    def fixed(*dims):
+        return pl.BlockSpec(dims, lambda bi, li: (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    def stacked():
+        return pl.BlockSpec((1, 1, p_total, l, 128),
+                            lambda bi, li: (li[0], bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            rows(p_total, 128),               # q (pre-scaled)
+            rows(128, p_total),               # q transposed
+            rows(p_total, 128),               # k_new
+            rows(p_total, 128),               # v_new
+            rows(l, 1),                       # additive mask bias
+            fixed(128, pairs),                # segment reduce matrix
+            fixed(pairs, 128),                # segment expand matrix
+            stacked(),                        # K cache (layer-stacked)
+            stacked(),                        # V cache
+        ],
+        out_specs=rows(p_total, 128),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, pairs, scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p_total, 128), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(lidx, q, q_t, k_new, v_new, bias_t, seg, segt, k_stack, v_stack)
+
+
+def pair_kv_enabled(config) -> bool:
+    """Static gate for the paired-cache MHA decode path.
+
+    ``APERTIS_MHA_STEP``: ``auto`` (default — on when the backend is TPU),
+    ``force`` (CPU interpret-mode testing), ``0`` (off). Requires a
+    power-of-two head_dim dividing 128 and a head count divisible by the
+    pair width; bf16 cache only (the int8 KV cache keeps the XLA
+    self-term path — its per-slot scales need a transposed layout this
+    kernel does not implement)."""
+    mode = os.environ.get("APERTIS_MHA_STEP", "auto")
+    if mode == "0":
+        return False
+    if config.attention_type == "selective_ssm":
+        return False
+    if config.head_dim not in (32, 64, 128):
+        return False
+    pairs = 128 // config.head_dim
+    if config.num_attention_heads % pairs:
+        return False
+    if os.environ.get("APERTIS_QUANT_KV", "0") == "1":
+        return False
+    if mode == "force":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
