@@ -914,10 +914,48 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
             "v_s": jnp.zeros((nl, batch_size, heads, max_length, 1),
                              jnp.float32),
         }
+    if _paired_kv_layout(config, max_length):
+        # Paired KV layout for the fused decode-attention kernel
+        # (ops/pallas/mha_step.py): 128/head_dim adjacent heads share one
+        # 128-lane row so the multi-GB cache carries ZERO lane padding in
+        # HBM (head_dim < 128 would otherwise store half padding under the
+        # (8, 128) tile). prefill/decode_step pack/consume this layout.
+        pairs = 128 // head_dim
+        return {
+            "k": jnp.zeros(
+                (nl, batch_size, heads // pairs, max_length, 128), dtype),
+            "v": jnp.zeros(
+                (nl, batch_size, heads // pairs, max_length, 128), dtype),
+        }
     return {
         "k": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
         "v": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
     }
+
+
+def _paired_kv_layout(config: ApertisConfig, max_length: int) -> bool:
+    """Whether the MHA decode cache uses the pair-packed (nl, B, H/pairs,
+    L, 128) layout consumed by the fused Pallas step kernel."""
+    from apertis_llm_tpu.ops.pallas.mha_step import (
+        pair_cache_fits, pair_kv_enabled)
+
+    return pair_kv_enabled(config) and pair_cache_fits(config, max_length)
+
+
+def _cache_is_paired(config: ApertisConfig, cache: Params) -> bool:
+    """Detect the paired layout from the allocated cache itself (the env
+    gate must not flip between init_cache and prefill/decode within one
+    served program; at head_dim == 128 the layouts coincide and the gate
+    alone decides the dispatch)."""
+    if config.attention_type == "selective_ssm" or "k_s" in cache:
+        return False
+    k = cache["k"]
+    if k.shape[4] != 128 or config.head_dim > 128:
+        return False
+    pairs = 128 // config.head_dim
+    if k.shape[2] != config.num_attention_heads // pairs:
+        return False
+    return _paired_kv_layout(config, k.shape[3])
 
 
 def _quant_kv() -> bool:
@@ -994,14 +1032,18 @@ def prefill(
                 cache["v_s"], vs, (0, 0, 0, 0, 0)),
         }
     else:
+        kc, vc = stacked_cache["k"], stacked_cache["v"]
+        if _cache_is_paired(config, cache):
+            from apertis_llm_tpu.ops.pallas.mha_step import pack_cache
+
+            pairs = 128 // config.head_dim
+            kc, vc = pack_cache(kc, pairs), pack_cache(vc, pairs)
         # stacked (nl, B, H, L, Dh) -> write into preallocated ring at [0:L]
         new_cache = {
             "k": jax.lax.dynamic_update_slice(
-                cache["k"], stacked_cache["k"].astype(cache["k"].dtype),
-                (0, 0, 0, 0, 0)),
+                cache["k"], kc.astype(cache["k"].dtype), (0, 0, 0, 0, 0)),
             "v": jax.lax.dynamic_update_slice(
-                cache["v"], stacked_cache["v"].astype(cache["v"].dtype),
-                (0, 0, 0, 0, 0)),
+                cache["v"], vc.astype(cache["v"].dtype), (0, 0, 0, 0, 0)),
         }
     return PrefillOutput(logits, new_cache, jnp.asarray(l_total, jnp.int32))
 
@@ -1144,6 +1186,49 @@ def decode_step(
         # the scan writes every layer's slot column in place.
         valid_cache = valid & (jnp.arange(max_len)[None, :] != t)
         quant_kv = "k_s" in cache
+
+        if _cache_is_paired(config, cache):
+            # Fused decode-attention path (ops/pallas/mha_step.py): the
+            # pair-packed cache is hoisted OUT of the scanned tree (the
+            # fat_stack lesson — scan xs would dynamic-slice a full copy
+            # per layer); the kernel scalar-prefetches the layer index
+            # into the full stack and fuses score/mask/softmax/context
+            # plus the fresh token's self-term in one VMEM pass.
+            from apertis_llm_tpu.ops.pallas.mha_step import NEG as _MHA_NEG
+
+            bias_t = jnp.where(valid_cache, 0.0, _MHA_NEG)[
+                ..., None].astype(jnp.float32)              # (B, Lmax, 1)
+            k_full, v_full = cache["k"], cache["v"]
+
+            def body_mha_paired(hc, xs):
+                lp, li = xs
+                normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
+                attn_out, kp, vp = _mha_decode_step_paired(
+                    lp["attn"], config, normed, k_full, v_full, pos,
+                    bias_t, cos_t, sin_t, li)
+                hc = hc + attn_out
+                normed = _apply_norm(lp["ffn"]["pre_norm"], hc, eps)
+                ffn_out, _, _ = _ffn(
+                    lp["ffn"], config, normed, training=False, rng=None,
+                    fat_stack=fat_stack, layer_idx=li,
+                    dense_stack=dense_stack)
+                return hc + ffn_out, (kp, vp)
+
+            arange_l = jnp.arange(config.num_hidden_layers, dtype=jnp.int32)
+            h, (kp_stack, vp_stack) = jax.lax.scan(
+                body_mha_paired, h, (layers, arange_l),
+                unroll=_decode_unroll(config.num_hidden_layers))
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], kp_stack[:, :, :, None, :].astype(
+                        cache["k"].dtype), (0, 0, 0, t, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vp_stack[:, :, :, None, :].astype(
+                        cache["v"].dtype), (0, 0, 0, t, 0)),
+            }
+            h = _apply_norm(params["final_norm"], h, eps)
+            logits = _lm_head(params, h)[:, 0, :]
+            return logits, new_cache
 
         def body_mha(hc, xs):
             if quant_kv:
@@ -1295,6 +1380,37 @@ def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t,
         valid_cache, k_scale=k_scale, v_scale=v_scale)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, heads * head_dim)
     return _linear(lp["o"], ctx), kh, vh
+
+
+def _mha_decode_step_paired(lp, config, x, k_stack, v_stack, pos, bias_t,
+                            cos_t, sin_t, layer_idx):
+    """Single-token MHA step over the pair-packed cache via the fused
+    Pallas decode-attention kernel (ops/pallas/mha_step.py).
+
+    Projections + RoPE stay XLA (they are weight-bound); the attention
+    score/mask/softmax/context chain — the step's dominant HBM term, the
+    full-cache read — runs in one Pallas pass over the padding-free
+    paired layout. Returns (attn_out, k_pair, v_pair) with the fresh
+    slot's pair-packed (B, P, 128) K/V for the caller's single post-scan
+    slot-column write."""
+    from apertis_llm_tpu.ops.pallas.mha_step import mha_decode_ctx, pack_heads
+
+    b = x.shape[0]
+    heads, head_dim = config.num_attention_heads, config.head_dim
+    q = _linear(lp["q"], x)
+    k = _linear(lp["k"], x)
+    v = _linear(lp["v"], x)
+    if config.position_embedding_type == "rotary":
+        q = apply_rope(q, pos, cos_t, sin_t)
+        k = apply_rope(k, pos, cos_t, sin_t)
+    out_dtype = jnp.dtype(config.dtype)
+    qp = pack_heads(q)                                    # (B, P, 128)
+    kp = pack_heads(k).astype(k_stack.dtype)
+    vp = pack_heads(v).astype(v_stack.dtype)
+    ctx = mha_decode_ctx(qp.astype(out_dtype), k_stack, v_stack, kp, vp,
+                         bias_t, layer_idx, head_dim=head_dim)
+    ctx = ctx.reshape(b, 1, heads * head_dim).astype(x.dtype)
+    return _linear(lp["o"], ctx), kp, vp
 
 
 def _ssm_decode_step(lp, config, x, layer_cache):

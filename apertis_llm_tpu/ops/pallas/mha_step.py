@@ -162,7 +162,8 @@ def pair_kv_enabled(config) -> bool:
     power-of-two head_dim dividing 128 and a head count divisible by the
     pair width; bf16 cache only (the int8 KV cache keeps the XLA
     self-term path — its per-slot scales need a transposed layout this
-    kernel does not implement)."""
+    kernel does not implement). Off under a parallel mesh: the kernel is
+    single-device; TP/SP serving keeps the XLA self-term path."""
     mode = os.environ.get("APERTIS_MHA_STEP", "auto")
     if mode == "0":
         return False
@@ -175,9 +176,37 @@ def pair_kv_enabled(config) -> bool:
         return False
     if os.environ.get("APERTIS_QUANT_KV", "0") == "1":
         return False
+    from apertis_llm_tpu.parallel.context import current as _par_current
+
+    if _par_current().mesh is not None:
+        return False
     if mode == "force":
         return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def pair_cache_fits(config, max_length: int) -> bool:
+    """Whether one batch row's full (P, L, 128) K and V blocks fit VMEM
+    with Pallas double-buffering (the kernel streams whole per-row cache
+    blocks; very long contexts keep the XLA path)."""
+    pairs = 128 // config.head_dim
+    p_rows = config.num_attention_heads // pairs
+    blk = p_rows * max_length * 128 * 2          # bf16 bytes, one of K/V
+    return 2 * 2 * blk <= 64 * 1024 * 1024
+
+
+def pack_heads(z: jnp.ndarray) -> jnp.ndarray:
+    """(B, 1, H*Dh) head-major projection -> (B, H/pairs, 128): adjacent
+    heads share one 128-lane row (pure reshape — heads are contiguous)."""
+    return z.reshape(z.shape[0], -1, 128)
+
+
+def pack_cache(k: jnp.ndarray, pairs: int) -> jnp.ndarray:
+    """(nl, B, H, L, Dh) -> (nl, B, H/pairs, L, 128) paired layout: head
+    h = p*pairs + j occupies lanes [j*Dh, (j+1)*Dh) of pair-row p."""
+    nl, b, h, l, dh = k.shape
+    k = k.reshape(nl, b, h // pairs, pairs, l, dh)
+    return jnp.moveaxis(k, 3, 4).reshape(nl, b, h // pairs, l, pairs * dh)
