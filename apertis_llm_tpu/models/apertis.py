@@ -597,14 +597,20 @@ def _ffn(
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        xq, xs = quantize_rows(x2)
         w1, w2 = dense_stack["w1"], dense_stack["w2"]
-        int4 = "w_q4" in w1
-        y = ffn_decode_fused(
-            xq, xs, w1["w_q4" if int4 else "w_q"], w1["w_s"], w1["b"],
-            w2["w_q4" if int4 else "w_q"], w2["w_s"], w2["b"],
-            layer_idx=layer_idx, out_dtype=x.dtype,
-            hidden_act=config.hidden_act, int4=int4)
+        if "w" in w1:
+            y = ffn_decode_fused(
+                x2, None, w1["w"], None, w1["b"], w2["w"], None, w2["b"],
+                layer_idx=layer_idx, out_dtype=x.dtype,
+                hidden_act=config.hidden_act)
+        else:
+            xq, xs = quantize_rows(x2)
+            int4 = "w_q4" in w1
+            y = ffn_decode_fused(
+                xq, xs, w1["w_q4" if int4 else "w_q"], w1["w_s"], w1["b"],
+                w2["w_q4" if int4 else "w_q"], w2["w_s"], w2["b"],
+                layer_idx=layer_idx, out_dtype=x.dtype,
+                hidden_act=config.hidden_act, int4=int4)
         return y.reshape(*lead, y.shape[-1]), zero, zero
     act = get_activation(config.hidden_act)
     if x_quant is not None:
@@ -895,6 +901,34 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
                 jnp.float32),
         }
     heads, head_dim = config.num_attention_heads, config.head_dim
+    if _paired_kv_layout(config, max_length):
+        # Paired KV layout for the fused decode-attention kernel
+        # (ops/pallas/mha_step.py): 128/head_dim adjacent heads share one
+        # 128-lane row so the multi-GB cache carries ZERO lane padding in
+        # HBM (head_dim < 128 would otherwise store half padding under the
+        # (8, 128) tile). prefill/decode_step pack/consume this layout.
+        # Under APERTIS_QUANT_KV=1 the paired cache stores int8 values
+        # with per-(pair-row, slot) f32 scale stacks — half the step's
+        # dominant HBM read again; the kernel dequantizes in VMEM.
+        pairs = 128 // head_dim
+        p_rows = heads // pairs
+        if _quant_kv():
+            return {
+                "k": jnp.zeros(
+                    (nl, batch_size, p_rows, max_length, 128), jnp.int8),
+                "k_ps": jnp.zeros(
+                    (nl, batch_size, p_rows, max_length), jnp.float32),
+                "v": jnp.zeros(
+                    (nl, batch_size, p_rows, max_length, 128), jnp.int8),
+                "v_ps": jnp.zeros(
+                    (nl, batch_size, p_rows, max_length), jnp.float32),
+            }
+        return {
+            "k": jnp.zeros(
+                (nl, batch_size, p_rows, max_length, 128), dtype),
+            "v": jnp.zeros(
+                (nl, batch_size, p_rows, max_length, 128), dtype),
+        }
     if _quant_kv():
         # int8 KV serving cache (APERTIS_QUANT_KV=1): values quantize
         # symmetrically per (layer, row, head, slot) with the scale over the
@@ -914,19 +948,6 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
             "v_s": jnp.zeros((nl, batch_size, heads, max_length, 1),
                              jnp.float32),
         }
-    if _paired_kv_layout(config, max_length):
-        # Paired KV layout for the fused decode-attention kernel
-        # (ops/pallas/mha_step.py): 128/head_dim adjacent heads share one
-        # 128-lane row so the multi-GB cache carries ZERO lane padding in
-        # HBM (head_dim < 128 would otherwise store half padding under the
-        # (8, 128) tile). prefill/decode_step pack/consume this layout.
-        pairs = 128 // head_dim
-        return {
-            "k": jnp.zeros(
-                (nl, batch_size, heads // pairs, max_length, 128), dtype),
-            "v": jnp.zeros(
-                (nl, batch_size, heads // pairs, max_length, 128), dtype),
-        }
     return {
         "k": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
         "v": jnp.zeros((nl, batch_size, heads, max_length, head_dim), dtype),
@@ -939,7 +960,8 @@ def _paired_kv_layout(config: ApertisConfig, max_length: int) -> bool:
     from apertis_llm_tpu.ops.pallas.mha_step import (
         pair_cache_fits, pair_kv_enabled)
 
-    return pair_kv_enabled(config) and pair_cache_fits(config, max_length)
+    return (pair_kv_enabled(config)
+            and pair_cache_fits(config, max_length, quant=_quant_kv()))
 
 
 def _cache_is_paired(config: ApertisConfig, cache: Params) -> bool:
@@ -1034,10 +1056,28 @@ def prefill(
     else:
         kc, vc = stacked_cache["k"], stacked_cache["v"]
         if _cache_is_paired(config, cache):
-            from apertis_llm_tpu.ops.pallas.mha_step import pack_cache
+            from apertis_llm_tpu.ops.pallas.mha_step import (
+                pack_cache, quantize_pairs)
 
             pairs = 128 // config.head_dim
             kc, vc = pack_cache(kc, pairs), pack_cache(vc, pairs)
+            if "k_ps" in cache:
+                # int8 paired cache: quantize the prompt's packed K/V per
+                # (pair-row, slot) on the way in.
+                kc, ks = quantize_pairs(kc)
+                vc, vs = quantize_pairs(vc)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kc, (0, 0, 0, 0, 0)),
+                    "k_ps": jax.lax.dynamic_update_slice(
+                        cache["k_ps"], ks, (0, 0, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vc, (0, 0, 0, 0, 0)),
+                    "v_ps": jax.lax.dynamic_update_slice(
+                        cache["v_ps"], vs, (0, 0, 0, 0)),
+                }
+                return PrefillOutput(logits, new_cache,
+                                     jnp.asarray(l_total, jnp.int32))
         # stacked (nl, B, H, L, Dh) -> write into preallocated ring at [0:L]
         new_cache = {
             "k": jax.lax.dynamic_update_slice(
@@ -1168,7 +1208,12 @@ def decode_step(
                 layers = dict(layers)
                 layers["ffn"] = {k: v for k, v in layers["ffn"].items()
                                  if k not in ("w1", "w2")}
-            if ssm_stack is not None and "fnorm_w" in ssm_stack:
+            if (ssm_stack is not None and "fnorm_w" in ssm_stack
+                    # pack kinds must agree: a bf16 mixer pack emits a bf16
+                    # FFN input, an int8 pack emits (x_q, x_s) — mixing
+                    # layouts would hand the FFN kernel the wrong operands.
+                    and (("inx_w" in ssm_stack)
+                         == ("w" in dense_stack["w1"]))):
                 ffn_mode = "dense"
 
     if not is_ssm:
@@ -1199,13 +1244,38 @@ def decode_step(
             bias_t = jnp.where(valid_cache, 0.0, _MHA_NEG)[
                 ..., None].astype(jnp.float32)              # (B, Lmax, 1)
             k_full, v_full = cache["k"], cache["v"]
+            kv_q = "k_ps" in cache
+            ks_full = cache["k_ps"] if kv_q else None
+            vs_full = cache["v_ps"] if kv_q else None
+            # int8 serving tree: fused LN+quantize feeds int8 x int8
+            # projection dots (see _mha_decode_step_paired's rationale).
+            attn_tree = layers.get("attn", {})
+            mha_q8 = all("w_q" in attn_tree.get(k2, {})
+                         for k2 in ("q", "k", "v", "o"))
 
             def body_mha_paired(hc, xs):
                 lp, li = xs
-                normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
-                attn_out, kp, vp = _mha_decode_step_paired(
-                    lp["attn"], config, normed, k_full, v_full, pos,
-                    bias_t, cos_t, sin_t, li)
+                if mha_q8:
+                    from apertis_llm_tpu.ops.pallas.ln_quant import (
+                        ln_quantize)
+
+                    pre = lp["attn"]["pre_norm"]
+                    if "scale" in pre:
+                        xq8, xs8 = ln_quantize(hc[:, 0, :], pre["scale"],
+                                               None, eps=eps, rms=True)
+                    else:
+                        xq8, xs8 = ln_quantize(hc[:, 0, :], pre["w"],
+                                               pre["b"], eps=eps, rms=False)
+                    attn_out, kp, vp = _mha_decode_step_paired(
+                        lp["attn"], config, None, k_full, v_full, pos,
+                        bias_t, cos_t, sin_t, li, x_quant=(xq8, xs8),
+                        ks_stack=ks_full, vs_stack=vs_full)
+                else:
+                    normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
+                    attn_out, kp, vp = _mha_decode_step_paired(
+                        lp["attn"], config, normed, k_full, v_full, pos,
+                        bias_t, cos_t, sin_t, li,
+                        ks_stack=ks_full, vs_stack=vs_full)
                 hc = hc + attn_out
                 normed = _apply_norm(lp["ffn"]["pre_norm"], hc, eps)
                 ffn_out, _, _ = _ffn(
@@ -1218,14 +1288,30 @@ def decode_step(
             h, (kp_stack, vp_stack) = jax.lax.scan(
                 body_mha_paired, h, (layers, arange_l),
                 unroll=_decode_unroll(config.num_hidden_layers))
-            new_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], kp_stack[:, :, :, None, :].astype(
-                        cache["k"].dtype), (0, 0, 0, t, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], vp_stack[:, :, :, None, :].astype(
-                        cache["v"].dtype), (0, 0, 0, t, 0)),
-            }
+            if kv_q:
+                from apertis_llm_tpu.ops.pallas.mha_step import quantize_pairs
+
+                kq_st, ks_st = quantize_pairs(kp_stack)     # (nl, B, P[, .])
+                vq_st, vs_st = quantize_pairs(vp_stack)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kq_st[:, :, :, None, :], (0, 0, 0, t, 0)),
+                    "k_ps": jax.lax.dynamic_update_slice(
+                        cache["k_ps"], ks_st[:, :, :, None], (0, 0, 0, t)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vq_st[:, :, :, None, :], (0, 0, 0, t, 0)),
+                    "v_ps": jax.lax.dynamic_update_slice(
+                        cache["v_ps"], vs_st[:, :, :, None], (0, 0, 0, t)),
+                }
+            else:
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kp_stack[:, :, :, None, :].astype(
+                            cache["k"].dtype), (0, 0, 0, t, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vp_stack[:, :, :, None, :].astype(
+                            cache["v"].dtype), (0, 0, 0, t, 0)),
+                }
             h = _apply_norm(params["final_norm"], h, eps)
             logits = _lm_head(params, h)[:, 0, :]
             return logits, new_cache
@@ -1304,14 +1390,23 @@ def decode_step(
                 from apertis_llm_tpu.ops.pallas.ffn_fused import (
                     ffn_decode_fused)
 
-                xq2, xs2 = outs[3], outs[4]
                 w1, w2 = dense_stack["w1"], dense_stack["w2"]
-                i4 = "w_q4" in w1
-                y = ffn_decode_fused(
-                    xq2, xs2, w1["w_q4" if i4 else "w_q"], w1["w_s"], w1["b"],
-                    w2["w_q4" if i4 else "w_q"], w2["w_s"], w2["b"],
-                    layer_idx=li, out_dtype=h2.dtype,
-                    hidden_act=config.hidden_act, int4=i4)
+                if "w" in w1:
+                    # bf16 serving: the mixer kernel emitted the normed
+                    # bf16 FFN input directly (no activation quantization).
+                    y = ffn_decode_fused(
+                        outs[3], None, w1["w"], None, w1["b"],
+                        w2["w"], None, w2["b"],
+                        layer_idx=li, out_dtype=h2.dtype,
+                        hidden_act=config.hidden_act)
+                else:
+                    xq2, xs2 = outs[3], outs[4]
+                    i4 = "w_q4" in w1
+                    y = ffn_decode_fused(
+                        xq2, xs2, w1["w_q4" if i4 else "w_q"], w1["w_s"],
+                        w1["b"], w2["w_q4" if i4 else "w_q"], w2["w_s"],
+                        w2["b"], layer_idx=li, out_dtype=h2.dtype,
+                        hidden_act=config.hidden_act, int4=i4)
                 return (h2 + y)[:, None, :], new_layer_cache
             if ffn_mode == "moe":
                 from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
@@ -1383,34 +1478,60 @@ def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t,
 
 
 def _mha_decode_step_paired(lp, config, x, k_stack, v_stack, pos, bias_t,
-                            cos_t, sin_t, layer_idx):
+                            cos_t, sin_t, layer_idx, x_quant=None,
+                            ks_stack=None, vs_stack=None):
     """Single-token MHA step over the pair-packed cache via the fused
     Pallas decode-attention kernel (ops/pallas/mha_step.py).
 
     Projections + RoPE stay XLA (they are weight-bound); the attention
     score/mask/softmax/context chain — the step's dominant HBM term, the
     full-cache read — runs in one Pallas pass over the padding-free
-    paired layout. Returns (attn_out, k_pair, v_pair) with the fresh
-    slot's pair-packed (B, P, 128) K/V for the caller's single post-scan
-    slot-column write."""
+    paired layout. With ``x_quant`` (the fused-LN int8 activations from
+    the quantized serving tree) the four projections run as int8 x int8
+    MXU dots — at decode row counts XLA's weight-only lowering was
+    measured MATERIALISING dequantized bf16 copies of the K/V projection
+    matrices every layer step (1.6 ms of the round-4 10.2 ms b64 step),
+    which the pre-quantized dot avoids entirely. Returns
+    (attn_out, k_pair, v_pair) with the fresh slot's pair-packed
+    (B, P, 128) K/V for the caller's single post-scan slot-column
+    write."""
     from apertis_llm_tpu.ops.pallas.mha_step import mha_decode_ctx, pack_heads
 
-    b = x.shape[0]
+    out_dtype = jnp.dtype(config.dtype)
+    if x_quant is not None:
+        x_q, x_s = x_quant
+        b = x_q.shape[0]
+        q = _linear_pre_q(lp["q"], x_q, x_s, out_dtype)[:, None, :]
+        k = _linear_pre_q(lp["k"], x_q, x_s, out_dtype)[:, None, :]
+        v = _linear_pre_q(lp["v"], x_q, x_s, out_dtype)[:, None, :]
+    else:
+        b = x.shape[0]
+        q = _linear(lp["q"], x)
+        k = _linear(lp["k"], x)
+        v = _linear(lp["v"], x)
     heads, head_dim = config.num_attention_heads, config.head_dim
-    q = _linear(lp["q"], x)
-    k = _linear(lp["k"], x)
-    v = _linear(lp["v"], x)
     if config.position_embedding_type == "rotary":
         q = apply_rope(q, pos, cos_t, sin_t)
         k = apply_rope(k, pos, cos_t, sin_t)
-    out_dtype = jnp.dtype(config.dtype)
     qp = pack_heads(q)                                    # (B, P, 128)
-    kp = pack_heads(k).astype(k_stack.dtype)
-    vp = pack_heads(v).astype(v_stack.dtype)
-    ctx = mha_decode_ctx(qp.astype(out_dtype), k_stack, v_stack, kp, vp,
-                         bias_t, layer_idx, head_dim=head_dim)
-    ctx = ctx.reshape(b, 1, heads * head_dim).astype(x.dtype)
-    return _linear(lp["o"], ctx), kp, vp
+    kp = pack_heads(k)
+    vp = pack_heads(v)
+    if ks_stack is None:
+        # bf16 cache: the fresh pair column is written back verbatim.
+        kp = kp.astype(k_stack.dtype)
+        vp = vp.astype(v_stack.dtype)
+    ctx = mha_decode_ctx(qp.astype(out_dtype), k_stack, v_stack,
+                         kp.astype(out_dtype), vp.astype(out_dtype),
+                         bias_t, layer_idx, head_dim=head_dim,
+                         ks_stack=ks_stack, vs_stack=vs_stack)
+    ctx = ctx.reshape(b, 1, heads * head_dim)
+    if x_quant is not None:
+        from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+        c_q, c_s = quantize_rows(ctx[:, 0, :])
+        return (_linear_pre_q(lp["o"], c_q, c_s, out_dtype)[:, None, :],
+                kp, vp)
+    return _linear(lp["o"], ctx.astype(x.dtype)), kp, vp
 
 
 def _ssm_decode_step(lp, config, x, layer_cache):

@@ -21,62 +21,97 @@ import jax.numpy as jnp
 
 
 def ssm_fusable(params: dict, config) -> bool:
-    """True iff the quantized serving tree carries everything the fused
-    decode-step kernel needs (RMS or LayerNorm pre-norm; int8
-    in/out/x_param; bf16 dt)."""
+    """True iff the serving tree carries everything the fused decode-step
+    kernel needs (RMS or LayerNorm pre-norm; bf16 dt) in ONE of its two
+    weight layouts: int8 {w_q, w_s} on all four big projections, or plain
+    bf16 {w} on all four (non-quantized serving, VERDICT r4 item 7)."""
+    return _fuse_kind(params, config) is not None
+
+
+def _fuse_kind(params: dict, config):
+    """``"int8"`` / ``"bf16"`` / None — which fused-pack layout the tree
+    supports (mixed trees are not fusable)."""
     if config.attention_type != "selective_ssm":
-        return False
+        return None
     if config.ssm_conv_kernel != 4:
-        return False
+        return None
     attn = params.get("layers", {}).get("attn")
     if not isinstance(attn, dict):
-        return False
+        return None
+    kinds = set()
     for key in ("in_proj_x", "in_proj_z", "x_param_proj", "out_proj"):
         sub = attn.get(key)
-        if not (isinstance(sub, dict) and "w_q" in sub):
-            return False
+        if not isinstance(sub, dict):
+            return None
+        if "w_q" in sub:
+            kinds.add("int8")
+        elif "w" in sub:
+            kinds.add("bf16")
+        else:
+            return None
+    if len(kinds) != 1:
+        return None
     pre = attn.get("pre_norm", {})
     has_norm = "scale" in pre or ("w" in pre and "b" in pre)
-    return (has_norm and "w" in attn.get("dt_proj", {})
-            and "w" in attn.get("conv", {}))
+    if not (has_norm and "w" in attn.get("dt_proj", {})
+            and "w" in attn.get("conv", {})):
+        return None
+    return kinds.pop()
 
 
 def attach_fused_ssm_params(params: dict, config) -> dict:
     """Return params with the fused decode pack attached (no-op when the
     tree is not fusable)."""
-    if not ssm_fusable(params, config):
+    kind = _fuse_kind(params, config)
+    if kind is None:
         return params
     attn = params["layers"]["attn"]
     nl = attn["A_log"].shape[0]
     heads, d_state = config.num_attention_heads, config.ssm_d_state
     c = heads * d_state
     r = config.ssm_dt_rank
-    xp_wq, xp_ws = attn["x_param_proj"]["w_q"], attn["x_param_proj"]["w_s"]
 
     pre = attn["pre_norm"]
     if "scale" in pre:
         norm_w, norm_b = pre["scale"], jnp.zeros_like(pre["scale"])
     else:
         norm_w, norm_b = pre["w"], pre["b"]
+    if kind == "bf16":
+        # Non-quantized layout: the kernel does bf16 MXU dots directly —
+        # same tensor roles, no scale rows.
+        xp_w = attn["x_param_proj"]["w"]
+        proj = {
+            "inx_w": attn["in_proj_x"]["w"],
+            "inz_w": attn["in_proj_z"]["w"],
+            "xdt_w": xp_w[:, :, :r],
+            "xb_w": xp_w[:, :, r:r + c],
+            "xc_w": xp_w[:, :, r + c:],
+            "out_w": attn["out_proj"]["w"],
+        }
+    else:
+        xp_wq, xp_ws = attn["x_param_proj"]["w_q"], attn["x_param_proj"]["w_s"]
+        proj = {
+            "inx_wq": attn["in_proj_x"]["w_q"],
+            "inx_ws": attn["in_proj_x"]["w_s"],
+            "inz_wq": attn["in_proj_z"]["w_q"],
+            "inz_ws": attn["in_proj_z"]["w_s"],
+            "xdt_wq": xp_wq[:, :, :r], "xdt_ws": xp_ws[:, :, :r],
+            "xb_wq": xp_wq[:, :, r:r + c], "xb_ws": xp_ws[:, :, r:r + c],
+            "xc_wq": xp_wq[:, :, r + c:], "xc_ws": xp_ws[:, :, r + c:],
+            "out_wq": attn["out_proj"]["w_q"],
+            "out_ws": attn["out_proj"]["w_s"],
+        }
     fused = {
         "norm_w": norm_w[:, None, :],
         "norm_b": norm_b[:, None, :],
-        "inx_wq": attn["in_proj_x"]["w_q"],
-        "inx_ws": attn["in_proj_x"]["w_s"],
-        "inz_wq": attn["in_proj_z"]["w_q"],
-        "inz_ws": attn["in_proj_z"]["w_s"],
+        **proj,
         "convw": jnp.transpose(attn["conv"]["w"], (0, 2, 1)),   # (L, K, C)
         "convb": attn["conv"]["b"][:, None, :],
-        "xdt_wq": xp_wq[:, :, :r], "xdt_ws": xp_ws[:, :, :r],
-        "xb_wq": xp_wq[:, :, r:r + c], "xb_ws": xp_ws[:, :, r:r + c],
-        "xc_wq": xp_wq[:, :, r + c:], "xc_ws": xp_ws[:, :, r + c:],
         "dt_w": attn["dt_proj"]["w"],
         "dt_b": attn["dt_proj"]["b"][:, None, :],
         "a_row": -jnp.exp(attn["A_log"].astype(jnp.float32)
                           ).reshape(nl, 1, c),
         "d_row": attn["D"][:, None, :],
-        "out_wq": attn["out_proj"]["w_q"],
-        "out_ws": attn["out_proj"]["w_s"],
         # Layer-stacked though identical per layer: every leaf of the
         # attached pack must carry the leading depth axis so the
         # full-sequence scan over params["layers"] still traces (the

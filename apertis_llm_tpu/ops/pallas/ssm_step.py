@@ -1,4 +1,5 @@
-"""Fused selective-SSM decode-step Pallas kernel (int8 serving hot path).
+"""Fused selective-SSM decode-step Pallas kernel (serving hot path; int8
+and bf16 weight layouts).
 
 One decode step of the SSM mixer is ~20 small XLA ops per layer (pre-norm,
 two in-projections, conv window, x_param/dt projections, softplus, state
@@ -71,15 +72,30 @@ def _norm(x, eps, rms, w_ref, b_ref):
             + b_ref[0].astype(jnp.float32))
 
 
-def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
-    (h_ref, s0_ref, s1_ref, s2_ref, ssm_ref, expand_ref,
-     normw_ref, normb_ref, inx_wq_ref, inx_ws_ref,
-     inz_wq_ref, inz_ws_ref,
-     convw_ref, convb_ref,
-     xdt_wq_ref, xdt_ws_ref, xb_wq_ref, xb_ws_ref, xc_wq_ref,
-     xc_ws_ref, dtw_ref, dtb_ref, a_ref, d_ref,
-     out_wq_ref, out_ws_ref) = refs[:26]
-    refs = refs[26:]
+def _bdot(x, w_ref):
+    """bf16 MXU dot with f32 accumulation (non-quantized weight layout)."""
+    return jax.lax.dot_general(
+        x.astype(w_ref.dtype), w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _kernel(eps, rms, ffn_mode, num_experts, quant, lidx_ref, *refs):
+    if quant:
+        (h_ref, s0_ref, s1_ref, s2_ref, ssm_ref, expand_ref,
+         normw_ref, normb_ref, inx_wq_ref, inx_ws_ref,
+         inz_wq_ref, inz_ws_ref,
+         convw_ref, convb_ref,
+         xdt_wq_ref, xdt_ws_ref, xb_wq_ref, xb_ws_ref, xc_wq_ref,
+         xc_ws_ref, dtw_ref, dtb_ref, a_ref, d_ref,
+         out_wq_ref, out_ws_ref) = refs[:26]
+        refs = refs[26:]
+    else:
+        (h_ref, s0_ref, s1_ref, s2_ref, ssm_ref, expand_ref,
+         normw_ref, normb_ref, inx_w_ref, inz_w_ref,
+         convw_ref, convb_ref,
+         xdt_w_ref, xb_w_ref, xc_w_ref,
+         dtw_ref, dtb_ref, a_ref, d_ref, out_w_ref) = refs[:20]
+        refs = refs[20:]
     if ffn_mode != "none":
         fnw_ref, fnb_ref = refs[:2]
         refs = refs[2:]
@@ -89,8 +105,14 @@ def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
     hout_ref, xpout_ref, ssmout_ref = refs[:3]
     refs = refs[3:]
     if ffn_mode != "none":
-        xqout_ref, xsout_ref = refs[:2]
-        refs = refs[2:]
+        xqout_ref = refs[0]
+        refs = refs[1:]
+        # The MoE fat pack is int8 even under a bf16 mixer pack
+        # (models/moe_fuse.py quantizes at attach time), so the MoE
+        # epilogue always emits quantized activations.
+        if quant or ffn_mode == "moe":
+            xsout_ref = refs[0]
+            refs = refs[1:]
     if ffn_mode == "moe":
         combout_ref = refs[0]
 
@@ -98,9 +120,13 @@ def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
 
     nrm = _norm(x, eps, rms, normw_ref, normb_ref)
 
-    nq, nscl = _quant_rows(nrm)
-    x_proj = _idot(nq, inx_wq_ref, nscl, inx_ws_ref)       # (BM, C)
-    z = _idot(nq, inz_wq_ref, nscl, inz_ws_ref)
+    if quant:
+        nq, nscl = _quant_rows(nrm)
+        x_proj = _idot(nq, inx_wq_ref, nscl, inx_ws_ref)   # (BM, C)
+        z = _idot(nq, inz_wq_ref, nscl, inz_ws_ref)
+    else:
+        x_proj = _bdot(nrm, inx_w_ref)
+        z = _bdot(nrm, inz_w_ref)
 
     # Depthwise causal conv over the carried window (K = 4), torch layout
     # taps: out = s0*w0 + s1*w1 + s2*w2 + x_t*w3 + b.
@@ -113,10 +139,15 @@ def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
           + convb_ref[0].astype(jnp.float32))
     x_act = yc * jax.nn.sigmoid(yc)                        # SiLU
 
-    aq, ascl = _quant_rows(x_act)
-    dt_feats = _idot(aq, xdt_wq_ref, ascl, xdt_ws_ref)     # (BM, R)
-    b_seg = _idot(aq, xb_wq_ref, ascl, xb_ws_ref)          # (BM, C)
-    c_seg = _idot(aq, xc_wq_ref, ascl, xc_ws_ref)          # (BM, C)
+    if quant:
+        aq, ascl = _quant_rows(x_act)
+        dt_feats = _idot(aq, xdt_wq_ref, ascl, xdt_ws_ref)  # (BM, R)
+        b_seg = _idot(aq, xb_wq_ref, ascl, xb_ws_ref)       # (BM, C)
+        c_seg = _idot(aq, xc_wq_ref, ascl, xc_ws_ref)       # (BM, C)
+    else:
+        dt_feats = _bdot(x_act, xdt_w_ref)
+        b_seg = _bdot(x_act, xb_w_ref)
+        c_seg = _bdot(x_act, xc_w_ref)
 
     # dt_proj stays bf16 (quantizer skip list), softplus'd in f32.
     dt_raw = jax.lax.dot_general(
@@ -135,8 +166,11 @@ def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
     y = c_seg * h_new + d_ref[0].astype(jnp.float32) * x_act
     g = y * (z * jax.nn.sigmoid(z))
 
-    gq, gscl = _quant_rows(g)
-    out = _idot(gq, out_wq_ref, gscl, out_ws_ref)          # (BM, D)
+    if quant:
+        gq, gscl = _quant_rows(g)
+        out = _idot(gq, out_wq_ref, gscl, out_ws_ref)      # (BM, D)
+    else:
+        out = _bdot(g, out_w_ref)
 
     hsum = x + out                                         # residual add
     hout_ref[:] = hsum.astype(hout_ref.dtype)
@@ -151,9 +185,15 @@ def _kernel(eps, rms, ffn_mode, num_experts, lidx_ref, *refs):
     n2 = _norm(hsum, eps, rms, fnw_ref, fnb_ref)
     n2 = n2.astype(jnp.bfloat16).astype(jnp.float32)
     if ffn_mode == "dense":
-        q2, s2 = _quant_rows(n2)
-        xqout_ref[:] = q2
-        xsout_ref[:] = s2
+        if quant:
+            q2, s2 = _quant_rows(n2)
+            xqout_ref[:] = q2
+            xsout_ref[:] = s2
+        else:
+            # bf16 serving: the fused dense-FFN kernel (bf16 layout)
+            # consumes the normed activation directly — no activation
+            # quantization anywhere on the bf16 dense path.
+            xqout_ref[:] = n2.astype(xqout_ref.dtype)
         return
     # MoE: the per-expert LayerNorm affine is folded into W1
     # (models/moe_fuse.py), so the expert input is the CENTERED/UNIT-VAR
@@ -203,13 +243,16 @@ def ssm_decode_step_fused(
                              # pre-norm (+ router) + activation quantize in
 ):
     """Returns ``(h_plus_mixer_out, new_x_proj, new_ssm_state)`` plus — per
-    ``ffn_mode`` — the quantized FFN input ``(x_q, x_s)`` and the MoE
-    ``combine`` weights; the caller rebuilds the conv window as
-    ``[s1, s2, new_x_proj]``."""
+    ``ffn_mode`` — the FFN input (int8 pack: quantized ``(x_q, x_s)``;
+    bf16 pack: the normed bf16 activation alone) and the MoE ``combine``
+    weights; the caller rebuilds the conv window as
+    ``[s1, s2, new_x_proj]``. The weight layout (int8 ``*_wq/*_ws`` vs
+    bf16 ``*_w``, models/ssm_fuse.py) is detected from the pack."""
     b, d = h.shape
     c = ssm_state.shape[-1]
-    nl = fused["inx_wq"].shape[0]
-    r = fused["xdt_wq"].shape[-1]
+    quant = "inx_wq" in fused
+    nl = fused["inx_wq" if quant else "inx_w"].shape[0]
+    r = fused["xdt_wq" if quant else "xdt_w"].shape[-1]
     heads = fused["dt_w"].shape[-1]
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     s0, s1, s2 = (conv_state[:, 0, :], conv_state[:, 1, :],
@@ -232,35 +275,53 @@ def ssm_decode_step_fused(
         return pl.BlockSpec((1,) + dims, lambda mi, li: (li[0],) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
+    if quant:
+        proj_specs = [
+            stacked(d, c), stacked(1, c),    # in_x
+            stacked(d, c), stacked(1, c),    # in_z
+        ]
+        xparam_specs = [
+            stacked(c, r), stacked(1, r),    # x_param dt segment
+            stacked(c, c), stacked(1, c),    # x_param B segment
+            stacked(c, c), stacked(1, c),    # x_param C segment
+        ]
+        out_proj_specs = [stacked(c, d), stacked(1, d)]
+        proj_in = [fused["inx_wq"], fused["inx_ws"],
+                   fused["inz_wq"], fused["inz_ws"]]
+        xparam_in = [fused["xdt_wq"], fused["xdt_ws"],
+                     fused["xb_wq"], fused["xb_ws"],
+                     fused["xc_wq"], fused["xc_ws"]]
+        out_proj_in = [fused["out_wq"], fused["out_ws"]]
+    else:
+        proj_specs = [stacked(d, c), stacked(d, c)]
+        xparam_specs = [stacked(c, r), stacked(c, c), stacked(c, c)]
+        out_proj_specs = [stacked(c, d)]
+        proj_in = [fused["inx_w"], fused["inz_w"]]
+        xparam_in = [fused["xdt_w"], fused["xb_w"], fused["xc_w"]]
+        out_proj_in = [fused["out_w"]]
     in_specs = [
         rows(d),                         # h
         rows(c), rows(c), rows(c),       # conv window planes
         rows(c),                         # ssm state
         stacked(heads, c),               # head-expansion 0/1 matrix
         stacked(1, d), stacked(1, d),    # norm weight, bias
-        stacked(d, c), stacked(1, c),    # in_x
-        stacked(d, c), stacked(1, c),    # in_z
+        *proj_specs,
         stacked(fused["convw"].shape[1], c),  # conv taps (K, C)
         stacked(1, c),                   # conv bias
-        stacked(c, r), stacked(1, r),    # x_param dt segment
-        stacked(c, c), stacked(1, c),    # x_param B segment
-        stacked(c, c), stacked(1, c),    # x_param C segment
+        *xparam_specs,
         stacked(r, heads), stacked(1, heads),  # dt_proj w, b
         stacked(1, c),                   # a_row = -exp(A_log)
         stacked(1, c),                   # D
-        stacked(c, d), stacked(1, d),    # out_proj
+        *out_proj_specs,                 # out_proj
     ]
     inputs = [lidx, h, s0, s1, s2, ssm_state, fused["expand"],
               fused["norm_w"], fused["norm_b"],
-              fused["inx_wq"], fused["inx_ws"],
-              fused["inz_wq"], fused["inz_ws"],
+              *proj_in,
               fused["convw"], fused["convb"],
-              fused["xdt_wq"], fused["xdt_ws"],
-              fused["xb_wq"], fused["xb_ws"],
-              fused["xc_wq"], fused["xc_ws"],
+              *xparam_in,
               fused["dt_w"], fused["dt_b"],
               fused["a_row"], fused["d_row"],
-              fused["out_wq"], fused["out_ws"]]
+              *out_proj_in]
     out_specs = [rows(d), rows(c), rows(c)]
     out_shape = [
         jax.ShapeDtypeStruct((bp, d), h.dtype),
@@ -271,11 +332,15 @@ def ssm_decode_step_fused(
     if ffn_mode != "none":
         in_specs += [stacked(1, d), stacked(1, d)]   # FFN pre-norm w, b
         inputs += [fused["fnorm_w"], fused["fnorm_b"]]
-        out_specs += [rows(d), pl.BlockSpec((block_m, 1),
-                                            lambda mi, li: (mi, 0),
-                                            memory_space=pltpu.VMEM)]
-        out_shape += [jax.ShapeDtypeStruct((bp, d), jnp.int8),
-                      jax.ShapeDtypeStruct((bp, 1), jnp.float32)]
+        if quant or ffn_mode == "moe":
+            out_specs += [rows(d), pl.BlockSpec((block_m, 1),
+                                                lambda mi, li: (mi, 0),
+                                                memory_space=pltpu.VMEM)]
+            out_shape += [jax.ShapeDtypeStruct((bp, d), jnp.int8),
+                          jax.ShapeDtypeStruct((bp, 1), jnp.float32)]
+        else:
+            out_specs += [rows(d)]
+            out_shape += [jax.ShapeDtypeStruct((bp, d), jnp.bfloat16)]
     if ffn_mode == "moe":
         num_experts = fused["router_w"].shape[-1]
         in_specs += [stacked(1, d), stacked(1, d),   # router LN w, b
@@ -293,7 +358,7 @@ def ssm_decode_step_fused(
         scratch_shapes=[],
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, eps, rms, ffn_mode, num_experts),
+        functools.partial(_kernel, eps, rms, ffn_mode, num_experts, quant),
         interpret=jax.default_backend() != "tpu",
         grid_spec=grid_spec,
         out_shape=out_shape,

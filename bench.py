@@ -354,8 +354,9 @@ def main():
         "bringup_s": round(stats["bringup_s"], 1),
     }
 
-    # Secondary row: the MoE family from the SAME driver run (VERDICT r3
-    # item 5) with a trimmed protocol (5 pairs, device-staged TTFT only).
+    # Secondary rows: the MoE and MHA families from the SAME driver run
+    # (VERDICT r3 item 5 / r4 item 8) with a trimmed protocol (5 pairs,
+    # device-staged TTFT only). MHA benches at its KV-memory-bound batch.
     if (preset != "tiny" and arch == "ssm"
             and os.environ.get("APERTIS_BENCH_SECONDARY", "1") != "0"):
         log("--- secondary row: MoE family ---")
@@ -367,6 +368,16 @@ def main():
             "moe_ttft_device_p50_ms": round(moe["ttft_device_p50_ms"], 1),
             "moe_params_b": round(moe["n_params"] / 1e9, 3),
             "moe_spread_pct": round(moe["spread_pct"], 1),
+        })
+        log("--- secondary row: MHA family (b64) ---")
+        mha = measure_decode(preset, quant, "mha", 64,
+                             samples=min(samples, 5), full_ttft=False)
+        out.update({
+            "mha_tok_s_b64": round(mha["decode_tps"], 1),
+            "mha_ms_per_step": round(mha["per_step_ms"], 2),
+            "mha_ttft_device_p50_ms": round(mha["ttft_device_p50_ms"], 1),
+            "mha_params_b": round(mha["n_params"] / 1e9, 3),
+            "mha_spread_pct": round(mha["spread_pct"], 1),
         })
 
     print(json.dumps(out))

@@ -111,3 +111,40 @@ def test_decode_step_routes_through_kernel():
     assert err < 3e-2, err
     assert jnp.array_equal(jnp.argmax(logits_plain, -1),
                            jnp.argmax(logits_fused, -1))
+
+
+@pytest.mark.parametrize("pipelined", ["0", "1"])
+def test_kernel_bf16_matches_xla(pipelined):
+    """bf16 weight layout (scales None): kernel == plain XLA FFN math to
+    f32 accumulation-order tolerance — no quantization anywhere."""
+    w1, b1, w2, b2, x = _make(3)
+    x = x.astype(jnp.float32)
+    os.environ["APERTIS_FFN_FUSED_PIPE"] = pipelined
+    try:
+        for li in (0, 2):
+            got = ffn_decode_fused(x, None, w1, None, b1, w2, None, b2,
+                                   layer_idx=li, out_dtype=jnp.float32,
+                                   block_n=128)
+            hid = jax.nn.gelu(x @ w1[li] + b1[li], approximate=False)
+            ref = hid @ w2[li] + b2[li]
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+            err = float(jnp.max(jnp.abs(got - ref))) / scale
+            assert err < 1e-4, (li, err)
+    finally:
+        del os.environ["APERTIS_FFN_FUSED_PIPE"]
+
+
+def test_eligibility_gate_bf16():
+    w1, b1, w2, b2, _ = _make(4)
+    d1 = {"w": w1, "b": b1}
+    d2 = {"w": w2, "b": b2}
+    assert not fused_eligible(d1, d2, rows=256)       # off-TPU default
+    os.environ["APERTIS_FFN_FUSED"] = "force"
+    try:
+        assert fused_eligible(d1, d2, rows=256)
+        # mixed layouts are not eligible
+        w1q, w1s = quantize_weight(w1)
+        assert not fused_eligible({"w_q": w1q, "w_s": w1s, "b": b1}, d2,
+                                  rows=256)
+    finally:
+        del os.environ["APERTIS_FFN_FUSED"]

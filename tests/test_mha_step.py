@@ -134,7 +134,8 @@ def test_engine_greedy_matches_plain(force_mha_step):
 
 
 def test_gates(force_mha_step):
-    """int8 KV cache, non-dividing head counts, and SSM keep the XLA path."""
+    """Non-dividing head counts and SSM keep the XLA path; QUANT_KV under
+    the paired gate allocates the int8 paired layout with scale stacks."""
     assert pair_kv_enabled(_cfg())
     assert not pair_kv_enabled(_cfg(attention_type="selective_ssm"))
     # 3 heads at head_dim 32 (pairs=4): not pair-packable.
@@ -142,11 +143,81 @@ def test_gates(force_mha_step):
         _cfg(hidden_size=96, num_attention_heads=3))
     os.environ["APERTIS_QUANT_KV"] = "1"
     try:
-        assert not pair_kv_enabled(_cfg())
+        assert pair_kv_enabled(_cfg())
         cache = M.init_cache(_cfg(), 2, max_length=16)
+        assert cache["k"].dtype == jnp.int8 and cache["k"].shape[4] == 128
+        assert cache["k_ps"].shape == (3, 2, 1, 16)
+        # non-paired configs keep the round-3 int8 layout
+        cache = M.init_cache(_cfg(hidden_size=96, num_attention_heads=3),
+                             2, max_length=16)
         assert "k_s" in cache and cache["k"].shape[4] == 32
     finally:
         del os.environ["APERTIS_QUANT_KV"]
     # Very long contexts exceed the kernel's VMEM block: normal layout.
     cache = M.init_cache(_cfg(), 1, max_length=300_000)
     assert cache["k"].shape[4] == 32
+
+
+def test_decode_step_int8_paired_cache(force_mha_step):
+    """int8 paired cache (QUANT_KV under the paired gate): prefill +
+    decode_step logits stay within the KV/q-quantization band of the bf16
+    paired path and greedy tokens agree."""
+    cfg = _cfg()
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    ids = jnp.asarray([[3, 17, 29, 5], [11, 23, 2, 9]], jnp.int32)
+
+    def step(quant_kv):
+        if quant_kv:
+            os.environ["APERTIS_QUANT_KV"] = "1"
+        try:
+            cache = M.init_cache(cfg, 2, max_length=16)
+            assert ("k_ps" in cache) == quant_kv
+            pre = M.prefill(params, cfg, cache, ids)
+            logits, cache2 = M.decode_step(
+                params, cfg, pre.cache, jnp.argmax(pre.logits[:, -1], -1),
+                jnp.asarray(4, jnp.int32))
+            if quant_kv:
+                # the fresh column landed quantized with its scale
+                assert bool(jnp.any(cache2["k_ps"][:, :, :, 4] > 0))
+            return logits
+        finally:
+            if quant_kv:
+                del os.environ["APERTIS_QUANT_KV"]
+
+    bf16 = step(False)
+    int8 = step(True)
+    scale = float(jnp.max(jnp.abs(bf16))) + 1e-6
+    err = float(jnp.max(jnp.abs(int8 - bf16))) / scale
+    assert err < 3e-2, err
+    assert jnp.array_equal(jnp.argmax(bf16, -1), jnp.argmax(int8, -1))
+
+
+def test_decode_step_quantized_tree(force_mha_step):
+    """int8 serving tree: the paired path runs fused-LN int8 projections
+    (ln_quant + pre-quantized dots). Logits stay within the int8
+    activation-rounding band of the XLA weight-only path and greedy
+    tokens agree."""
+    from apertis_llm_tpu.models.quantize import quantize_params
+
+    cfg = _cfg()
+    params = quantize_params(init_params(jax.random.PRNGKey(3), cfg),
+                             min_size=0)
+    ids = jnp.asarray([[3, 17, 29, 5], [11, 23, 2, 9]], jnp.int32)
+
+    def step(paired):
+        os.environ["APERTIS_MHA_STEP"] = "force" if paired else "0"
+        cache = M.init_cache(cfg, 2, max_length=16)
+        assert (cache["k"].shape[4] == 128) == paired
+        pre = M.prefill(params, cfg, cache, ids)
+        logits, _ = M.decode_step(
+            params, cfg, pre.cache, jnp.argmax(pre.logits[:, -1], -1),
+            jnp.asarray(4, jnp.int32))
+        return logits
+
+    plain = step(False)
+    paired = step(True)
+    os.environ["APERTIS_MHA_STEP"] = "force"  # fixture deletes it
+    scale = float(jnp.max(jnp.abs(plain))) + 1e-6
+    err = float(jnp.max(jnp.abs(paired - plain))) / scale
+    assert err < 3e-2, err
+    assert jnp.array_equal(jnp.argmax(plain, -1), jnp.argmax(paired, -1))
