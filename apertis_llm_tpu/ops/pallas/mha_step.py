@@ -60,7 +60,6 @@ def _kernel(pairs, scale, quant, lidx_ref, *refs):
     seg = seg_ref[:]                              # (128, pairs) 0/1 f32
     segt = segt_ref[:]                            # (pairs, 128)
     if quant:
-        seg_i = seg.astype(jnp.int8)
         qs = qs_ref[0]                            # (1, P) f32 q dequant
         # One f32 lane<->sublane transpose per grid step turns the
         # compactly-stored (P, L) scale blocks into the (L, 1) columns the
@@ -80,11 +79,13 @@ def _kernel(pairs, scale, quant, lidx_ref, *refs):
         v_p = v_ref[0, 0, p]
         if quant:
             # int8 cache: scores via an int8 x int8 MXU dot against the
-            # int8-quantized q column folded into the segment matrix
-            # (0/1 entries keep the product in int8 range); the per-slot
-            # cache scales and the per-pair-row q scale dequantize the
-            # (L, pairs) int32 result on the VPU.
-            segq = seg_i * qt[:, p:p + 1]                   # (128, pairs)
+            # int8-quantized q column folded into the segment matrix. The
+            # fold runs in f32 (Mosaic has no int8 vector multiply) and
+            # converts back — exact for int8-valued floats times 0/1. The
+            # per-slot cache scales and the per-pair-row q scale
+            # dequantize the (L, pairs) int32 result on the VPU.
+            segq = (seg * qt.astype(jnp.float32)[:, p:p + 1]
+                    ).astype(jnp.int8)                      # (128, pairs)
             s = jax.lax.dot_general(
                 k_p, segq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)           # (L, pairs)
