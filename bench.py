@@ -369,7 +369,11 @@ def main():
             "moe_params_b": round(moe["n_params"] / 1e9, 3),
             "moe_spread_pct": round(moe["spread_pct"], 1),
         })
-        log("--- secondary row: MHA family (b64) ---")
+        log("--- secondary row: MHA family (b64, int8 paired KV) ---")
+        # The MHA serving default: int8 paired KV cache (APERTIS_QUANT_KV
+        # is a process-level cache-layout knob — set before the engine
+        # builds; the SSM/MoE rows above never read it).
+        os.environ.setdefault("APERTIS_QUANT_KV", "1")
         mha = measure_decode(preset, quant, "mha", 64,
                              samples=min(samples, 5), full_ttft=False)
         out.update({
