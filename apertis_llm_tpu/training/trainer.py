@@ -273,9 +273,10 @@ class ApertisTrainer:
             }
         return jax.device_put(batch, self._batch_sharding)
 
-    def save_checkpoint(self, name: str) -> None:
+    def save_checkpoint(self, name: str, full_state: bool = True) -> None:
         save_checkpoint(self.output_dir / name, self.state, self.config,
-                        tokenizer_src=self.tokenizer_path_to_save)
+                        tokenizer_src=self.tokenizer_path_to_save,
+                        full_state=full_state)
 
     def evaluate(self) -> Optional[float]:
         if self.val_loader is None:
@@ -421,7 +422,10 @@ class ApertisTrainer:
                         self._wandb.log({"val/loss": val_loss})
                     if val_loss < best_val:
                         best_val = val_loss
-                        self.save_checkpoint("best_model")
+                        # weights-only: best_model is an inference artifact;
+                        # resume state lives in the epoch/step checkpoints
+                        # (the optimizer moments are 2/3 of the D2H bytes).
+                        self.save_checkpoint("best_model", full_state=False)
             if not self.stop_event.is_set():
                 self.save_checkpoint(f"checkpoint-epoch-{epoch + 1}")
 
