@@ -73,6 +73,12 @@ def test_pretrain_end_to_end(tmp_path):
     assert (final / "config.json").exists()
     assert (final / "state").exists()       # full train state (orbax)
     assert (final / "vocab.json").exists()  # tokenizer copied alongside
+    best = out / "best_model"
+    if best.exists():
+        # best_model is the weights-only inference artifact (r5: skipping
+        # the optimizer-state D2H); resume state lives in final/epoch dirs.
+        assert (best / "pytorch_model.bin").exists()
+        assert not (best / "state").exists()
 
     # The exported checkpoint round-trips through the inference loader.
     from apertis_llm_tpu.models.convert import load_pretrained

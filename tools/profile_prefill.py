@@ -1,11 +1,14 @@
-"""Profile the 1.5B SSM flagship prefill (TTFT program) on TPU and
-aggregate device op durations from the xplane, grouping by op kind."""
+"""Profile the 1.5B flagship prefill (TTFT program) on TPU and
+aggregate device op durations from the xplane, grouping by op kind.
+PROF_ARCH=ssm (default) | moe selects the family (r5: the MoE TTFT
+campaign, VERDICT r4 item 4)."""
 import os, sys, time, glob, collections, re
 sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax, jax.numpy as jnp
 
-TAG = os.environ.get("PROF_TAG", "default")
+ARCH = os.environ.get("PROF_ARCH", "ssm")
+TAG = os.environ.get("PROF_TAG", ARCH)
 OUT = f"/tmp/prof_prefill_{TAG}"
 
 from apertis_llm_tpu.config import ApertisConfig
@@ -14,14 +17,18 @@ from apertis_llm_tpu.models.params import init_params
 from apertis_llm_tpu.models.quantize import quantize_params
 from apertis_llm_tpu.inference.engine import InferenceEngine
 
-dims = calculate_model_dimensions("1.5B", 32000)
+dims = calculate_model_dimensions("1.5B", 32000,
+                                  use_expert_system=(ARCH == "moe"))
+kw = {}
+if ARCH == "moe":
+    kw.update(use_expert_system=True, num_experts=8, experts_per_token=2)
 config = ApertisConfig(
     vocab_size=32000, attention_type="selective_ssm", ssm_d_state=16,
     multimodal=True, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     max_position_embeddings=4096, dtype="bfloat16", param_dtype="bfloat16",
     hidden_size=dims["hidden_size"], num_hidden_layers=dims["num_hidden_layers"],
     num_attention_heads=dims["num_attention_heads"],
-    intermediate_size=dims["intermediate_size"])
+    intermediate_size=dims["intermediate_size"], **kw)
 print("dims:", dims, flush=True)
 t0 = time.perf_counter()
 params = jax.jit(lambda r: init_params(r, config))(jax.random.PRNGKey(0))
