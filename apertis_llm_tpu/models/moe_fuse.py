@@ -111,10 +111,11 @@ def _fuse_one_fat(experts: Params, bits: int = 8) -> Params:
         # (models/quantize.quantize_weight_int4), unpacked in VMEM by the
         # fat kernel. Expert storage itself stays int8/bf16: prefill's
         # ragged path and training never see packed weights.
-        q1, s1 = quantize_weight_int4(w1_flat)        # (H/2, E*I)
-        q2, s2 = quantize_weight_int4(w2_flat)        # (E*I/2, H)
-        return {"w1t_q4": q1, "w1t_s": s1, "b1t": b1f.reshape(e * i),
-                "w2t_q4": q2, "w2t_s": s2}
+        q1, s1, sh1 = quantize_weight_int4(w1_flat)   # (H/2, E*I)
+        q2, s2, sh2 = quantize_weight_int4(w2_flat)   # (E*I/2, H)
+        return {"w1t_q4": q1, "w1t_s": s1, "w1t_sh": sh1,
+                "b1t": b1f.reshape(e * i),
+                "w2t_q4": q2, "w2t_s": s2, "w2t_sh": sh2}
     q1, s1 = quantize_weight(w1_flat)                 # scales (1, E*I)
     q2, s2 = quantize_weight(w2_flat)                 # scales (1, H) shared
     return {"w1t_q": q1, "w1t_s": s1, "b1t": b1f.reshape(e * i),

@@ -56,55 +56,84 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 INT4_GROUP = 128  # contraction rows per packing group (see below)
 
 
-def quantize_weight_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-output-channel int4: w ~= unpack_int4(w_q4) * w_s.
+def quantize_weight_int4(
+        w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Group-wise symmetric int4:
+    ``w ~= unpack_int4(w_q4, w_sh) * w_s`` (w_sh = per-group shifts).
 
-    Values quantize to [-7, 7] with scale = absmax/7. Two 4-bit values pack
-    into one int8 byte paired WITHIN each 128-row contraction group: byte
-    row ``128g + j`` (j < 64) holds contraction row ``128g + j`` in its low
-    nibble and row ``128g + j + 64`` in its high nibble. Group-local
-    pairing means any contraction slice aligned to 128 rows unpacks
-    independently — the fused decode kernels can tile the contraction
-    (GEMM2 streams 128-multiple hidden tiles) without a tile ever needing
-    another tile's nibble partner, and the unpack is a sublane-block
-    interleave (multiples of 64 rows), never a lane/sublane gather. The
-    contraction axis (-2) must be a multiple of 128."""
+    Every (128-contraction-row group, output channel) gets its OWN
+    effective scale — constrained to a power-of-two multiple of the
+    channel's base scale — without giving up the single int8 MXU dot per
+    tile: values store as int4 in [-7, 7], and the unpack multiplies each
+    group by its shift factor ``2^e`` (e in 0..3), yielding int8 in
+    [-56, 56]. With base scale = channel_absmax/56, a group whose absmax
+    sits 8x below the channel max uses an 8x finer grid (up to 3 extra
+    bits vs the round-4 per-channel layout); every group's grid is within
+    2x of its ideal group-wise scale. The shift factors travel as an int8
+    (..., in/128, out) array — 1/64 of the packed weight bytes.
+
+    Two 4-bit values pack into one int8 byte paired WITHIN each 128-row
+    contraction group: byte row ``128g + j`` (j < 64) holds contraction
+    row ``128g + j`` in its low nibble and row ``128g + j + 64`` in its
+    high nibble. Group-local pairing means any contraction slice aligned
+    to 128 rows unpacks independently — the fused decode kernels can tile
+    the contraction (GEMM2 streams 128-multiple hidden tiles) without a
+    tile ever needing another tile's nibble partner (its shift block
+    slices the same way), and the unpack is a sublane-block interleave
+    (multiples of 64 rows), never a lane/sublane gather. The contraction
+    axis (-2) must be a multiple of 128."""
     k = w.shape[-2]
     if k % INT4_GROUP:
         raise ValueError(f"int4 contraction axis must be a multiple of "
                          f"{INT4_GROUP}, got {k}")
-    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
     lead = w.shape[:-2]
     n = w.shape[-1]
-    g = q.reshape(lead + (k // INT4_GROUP, 2, INT4_GROUP // 2, n))
-    lo, hi = g[..., 0, :, :], g[..., 1, :, :]
+    wf = w.astype(jnp.float32)
+    wg = wf.reshape(lead + (k // INT4_GROUP, INT4_GROUP, n))
+    gmax = jnp.max(jnp.abs(wg), axis=-2)                  # lead+(G, n)
+    cmax = jnp.max(gmax, axis=-2, keepdims=True)          # lead+(1, n)
+    scale = jnp.maximum(cmax, 1e-8) / 56.0
+    # Smallest e in 0..3 with 7 * scale * 2^e >= group absmax.
+    e = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(gmax / (7.0 * scale), 1.0))),
+                 0, 3)
+    shift = jnp.exp2(e)                                   # lead+(G, n) f32
+    grid = scale[..., None, :, :] * shift[..., None, :]   # lead+(G, 1, n)
+    q = jnp.clip(jnp.round(wg / grid), -7, 7).astype(jnp.int32)
+    q = q.reshape(lead + (k // INT4_GROUP, 2, INT4_GROUP // 2, n))
+    lo, hi = q[..., 0, :, :], q[..., 1, :, :]
     packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
-    return packed.reshape(lead + (k // 2, n)), scale.astype(jnp.float32)
+    return (packed.reshape(lead + (k // 2, n)), scale.astype(jnp.float32),
+            shift.astype(jnp.int8))
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, shifts: jnp.ndarray = None
+                ) -> jnp.ndarray:
     """Invert :func:`quantize_weight_int4`'s packing: (..., in/2, out) int8
-    bytes -> (..., in, out) int8 values in [-7, 7]. Pure reshape/arithmetic
-    (group-local sublane interleave), usable both from XLA and inside a
-    Pallas kernel body."""
+    bytes -> (..., in, out) int8 values — in [-7, 7], or scaled by the
+    per-(group, channel) ``shifts`` factors to [-56, 56]. Pure
+    reshape/arithmetic (group-local sublane interleave + one broadcast
+    integer multiply), usable both from XLA and inside a Pallas kernel
+    body."""
     lead = packed.shape[:-2]
     kh, n = packed.shape[-2], packed.shape[-1]
     p = packed.astype(jnp.int32)
-    lo = ((p << 28) >> 28).astype(jnp.int8)   # sign-extend low nibble
-    hi = (p >> 4).astype(jnp.int8)            # arithmetic: sign-extends
+    lo = (p << 28) >> 28                      # sign-extend low nibble
+    hi = p >> 4                               # arithmetic: sign-extends
     half = INT4_GROUP // 2
     lo = lo.reshape(lead + (kh // half, 1, half, n))
     hi = hi.reshape(lead + (kh // half, 1, half, n))
     full = jnp.concatenate([lo, hi], axis=-3)
-    return full.reshape(lead + (2 * kh, n))
+    if shifts is not None:
+        full = full * shifts.astype(jnp.int32).reshape(
+            lead + (kh // half, 1, 1, n))
+    return full.astype(jnp.int8).reshape(lead + (2 * kh, n))
 
 
 def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                    shifts: jnp.ndarray = None,
                     dtype=jnp.float32) -> jnp.ndarray:
     """Reconstruct the full (in, out) weight (XLA fallback path)."""
-    return unpack_int4(packed).astype(dtype) * scale.astype(dtype)
+    return unpack_int4(packed, shifts).astype(dtype) * scale.astype(dtype)
 
 
 def quantize_params(params: Params, min_size: int = 1 << 16,
@@ -178,9 +207,9 @@ def attach_int4_ffn(params: Params, config=None) -> Params:
         return params
     pack = {}
     for name, w in (("w1", w1), ("w2", w2)):
-        q4, s = quantize_weight_int4(
+        q4, s, sh = quantize_weight_int4(
             w["w_q"].astype(jnp.float32) * w["w_s"])
-        pack[name] = {"w_q4": q4, "w_s": s, "b": w["b"]}
+        pack[name] = {"w_q4": q4, "w_s": s, "w_sh": sh, "b": w["b"]}
     out = dict(params)
     out["layers"] = dict(params["layers"])
     out["layers"]["ffn"] = dict(ffn)

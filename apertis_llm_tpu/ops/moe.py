@@ -274,7 +274,8 @@ def moe_dense_fat(
         # the packed form directly).
         from apertis_llm_tpu.models.quantize import unpack_int4
 
-        w1t, w2t = unpack_int4(fat["w1t_q4"]), unpack_int4(fat["w2t_q4"])
+        w1t = unpack_int4(fat["w1t_q4"], fat.get("w1t_sh"))
+        w2t = unpack_int4(fat["w2t_q4"], fat.get("w2t_sh"))
     else:
         w1t, w2t = fat["w1t_q"], fat["w2t_q"]
     acc1 = jax.lax.dot_general(xq, w1t, (((1,), (0,)), ((), ())),
@@ -341,7 +342,8 @@ def moe_dense_fat_kernel(
         xq, xs, combine, fat["w1t_q4" if int4 else "w1t_q"], fat["w1t_s"],
         fat["b1t"], fat["w2t_q4" if int4 else "w2t_q"], fat["w2t_s"],
         num_experts, layer_idx=layer_idx,
-        out_dtype=jnp.float32, hidden_act=hidden_act, int4=int4)
+        out_dtype=jnp.float32, hidden_act=hidden_act, int4=int4,
+        w1t_sh=fat.get("w1t_sh"), w2t_sh=fat.get("w2t_sh"))
     out = out + combine @ expert_params["b2"].astype(jnp.float32)
     return out.astype(x.dtype)
 

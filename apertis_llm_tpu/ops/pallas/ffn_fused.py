@@ -40,7 +40,12 @@ from apertis_llm_tpu.ops.pallas.moe_ffn import (
 
 
 def _kernel(act_fn, int4, quant, lidx_ref, *refs):
-    if quant:
+    w1sh = w2sh = None
+    if int4:
+        (xq_ref, xs_ref, w1q_ref, w1sh_ref, w1s_ref, b1_ref,
+         w2q_ref, w2sh_ref, w2s_ref, b2_ref, out_ref, acc_ref) = refs
+        w1sh, w2sh = w1sh_ref[0], w2sh_ref[0]
+    elif quant:
         (xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref,
          w2q_ref, w2s_ref, b2_ref, out_ref, acc_ref) = refs
     else:
@@ -54,7 +59,8 @@ def _kernel(act_fn, int4, quant, lidx_ref, *refs):
     xq = xq_ref[:]                          # (S, H) int8/bf16 resident
     if quant:
         acc1 = jax.lax.dot_general(
-            xq, _maybe_unpack(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
+            xq, _maybe_unpack(w1q_ref[0], int4, w1sh),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, BN)
         # Biases arrive in their native (bf16) dtype and are cast here in
         # VMEM: an .astype on the host side would materialise a full-stack
@@ -76,7 +82,8 @@ def _kernel(act_fn, int4, quant, lidx_ref, *refs):
         hs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
         hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
         acc2 = jax.lax.dot_general(
-            hq, _maybe_unpack(w2q_ref[0], int4), (((1,), (0,)), ((), ())),
+            hq, _maybe_unpack(w2q_ref[0], int4, w2sh),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs
     else:
@@ -97,7 +104,10 @@ def _kernel_pipelined(act_fn, n_tiles, int4, quant, lidx_ref, *refs):
     GEMM2 for tile ``ni-1`` issues before tile ``ni``'s VPU epilogue, so the
     MXU never waits on the dequant/act/requant chain; grid runs one extra
     drain step and hq/hs ping-pong in scratch."""
-    if quant:
+    if int4:
+        (xq_ref, xs_ref, w1q_ref, w1sh_ref, w1s_ref, b1_ref, w2q_ref,
+         w2sh_ref, w2s_ref, b2_ref, out_ref, acc_ref, hq_ref, hs_ref) = refs
+    elif quant:
         (xq_ref, xs_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
          out_ref, acc_ref, hq_ref, hs_ref) = refs
     else:
@@ -113,7 +123,8 @@ def _kernel_pipelined(act_fn, n_tiles, int4, quant, lidx_ref, *refs):
     def _():
         if quant:
             acc1 = jax.lax.dot_general(
-                xq_ref[:], _maybe_unpack(w1q_ref[0], int4),
+                xq_ref[:], _maybe_unpack(w1q_ref[0], int4,
+                                         w1sh_ref[0] if int4 else None),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)     # (S, BN)
             h = (acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0]
@@ -136,7 +147,8 @@ def _kernel_pipelined(act_fn, n_tiles, int4, quant, lidx_ref, *refs):
     @pl.when(ni > 0)
     def _():
         acc2 = jax.lax.dot_general(
-            hq_ref[(ni - 1) % 2], _maybe_unpack(w2q_ref[0], int4),
+            hq_ref[(ni - 1) % 2],
+            _maybe_unpack(w2q_ref[0], int4, w2sh_ref[0] if int4 else None),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32 if quant else jnp.float32)
         if quant:
@@ -178,6 +190,8 @@ def ffn_decode_fused(
     hidden_act: str = "gelu",
     block_n=None,
     int4: bool = False,   # weights are int4 nibble-packed (quantize.py)
+    w1_sh=None,           # int4: (H/128, I) / (L, H/128, I) int8 shifts
+    w2_sh=None,           # int4: (I/128, H) / (L, I/128, H)
 ):
     """Whole-FFN output (S, H) = act(xq@w1 + b1) @ w2 + b2 with the hidden
     tile resident in VMEM. Quantized (int8/int4 + scales) and bf16 weight
@@ -194,6 +208,8 @@ def ffn_decode_fused(
         b1, b2 = b1[None], b2[None]
         if quant:
             w1_s, w2_s = w1_s[None], w2_s[None]
+        if int4:
+            w1_sh, w2_sh = w1_sh[None], w2_sh[None]
         layer_idx = 0
     nl, _, i = w1_q.shape
     bn = _pick_block_n(i, block_n)
@@ -236,6 +252,10 @@ def ffn_decode_fused(
     w1_specs = [pl.BlockSpec((1, h // kdiv, bn), w1_map,
                              memory_space=pltpu.VMEM)]
     w1_in = [w1_q]
+    if int4:
+        w1_specs += [pl.BlockSpec((1, h // 128, bn), w1_map,
+                                  memory_space=pltpu.VMEM)]
+        w1_in += [w1_sh]
     if quant:
         w1_specs += [pl.BlockSpec((1, 1, bn), w1_map,
                                   memory_space=pltpu.VMEM)]
@@ -243,6 +263,10 @@ def ffn_decode_fused(
     w2_specs = [pl.BlockSpec((1, bn // kdiv, h), w2_map,
                              memory_space=pltpu.VMEM)]
     w2_in = [w2_q]
+    if int4:
+        w2_specs += [pl.BlockSpec((1, bn // 128, h), w2_map,
+                                  memory_space=pltpu.VMEM)]
+        w2_in += [w2_sh]
     if quant:
         w2_specs += [pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                                   memory_space=pltpu.VMEM)]

@@ -80,23 +80,23 @@ def kernel_activation(name: str):
     return _KERNEL_ACTS.get(name, _gelu_exact)
 
 
-def maybe_unpack_int4(w, int4: bool):
+def maybe_unpack_int4(w, int4: bool, sh=None):
     """int4 mode: the weight block arrives nibble-PACKED (in/2, n) int8 and
     unpacks to int8 in VMEM (models/quantize.unpack_int4's group-128
-    interleave — reshape/shift/concat only, Mosaic-lowerable). The HBM DMA
-    moves half the bytes; the VPU unpack overlaps the (halved) weight
+    interleave — reshape/shift/concat plus one broadcast integer multiply
+    by the per-(group, channel) shift factors, Mosaic-lowerable). The HBM
+    DMA moves half the bytes; the VPU unpack overlaps the (halved) weight
     stream on a DMA-bound kernel. Shared by the dense-FFN decode kernel
     (ops/pallas/ffn_fused.py)."""
     if not int4:
         return w
     from apertis_llm_tpu.models.quantize import unpack_int4
 
-    return unpack_int4(w)
+    return unpack_int4(w, sh)
 
 
 def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
-                lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
-                w2q_ref, w2s_ref, out_ref, acc_ref):
+                lidx_ref, *refs):
     """Combine-folded fused MoE FFN: one grid step per intermediate tile.
 
     Grid axis = tiles of the flattened E*I intermediate (each tile inside
@@ -116,6 +116,14 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
     both expert matrices every layer step (profiled at ~47 us/layer of the
     ~94 us kernel time at the 1.5B shapes) — prefetching the index instead
     DMAs tiles straight from the resident stack."""
+    if int4:
+        (xq_ref, xs_ref, comb_ref, w1q_ref, w1sh_ref, w1s_ref, b1_ref,
+         w2q_ref, w2sh_ref, w2s_ref, out_ref, acc_ref) = refs
+        w1sh, w2sh = w1sh_ref[0], w2sh_ref[0]
+    else:
+        (xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
+         w2q_ref, w2s_ref, out_ref, acc_ref) = refs
+        w1sh = w2sh = None
     ni = pl.program_id(0)
 
     @pl.when(ni == 0)
@@ -124,7 +132,8 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
 
     xq = xq_ref[:]                                    # (S, H) int8 resident
     acc1 = jax.lax.dot_general(
-        xq, maybe_unpack_int4(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
+        xq, maybe_unpack_int4(w1q_ref[0], int4, w1sh),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)             # (S, BN)
     h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
     h = act_fn(h)
@@ -143,7 +152,7 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
         # the absmax/round/clip VPU passes for a bf16-rate MXU dot.
         acc2 = jax.lax.dot_general(
             h.astype(jnp.bfloat16),
-            maybe_unpack_int4(w2q_ref[0], int4).astype(jnp.bfloat16),
+            maybe_unpack_int4(w2q_ref[0], int4, w2sh).astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (S, H)
         acc_ref[:] += acc2
@@ -153,7 +162,8 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
         hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
 
         acc2 = jax.lax.dot_general(
-            hq, maybe_unpack_int4(w2q_ref[0], int4), (((1,), (0,)), ((), ())),
+            hq, maybe_unpack_int4(w2q_ref[0], int4, w2sh),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs
 
@@ -163,9 +173,7 @@ def _fat_kernel(act_fn, tiles_per_expert, bf16_dot2, int4,
 
 
 def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles, int4,
-                          lidx_ref, xq_ref, xs_ref, comb_ref, w1q_ref,
-                          w1s_ref, b1_ref, w2q_ref, w2s_ref, out_ref,
-                          acc_ref, hq_ref, hs_ref):
+                          lidx_ref, *refs):
     """Software-pipelined fat kernel: GEMM2 for tile ``ni-1`` issues BEFORE
     tile ``ni``'s epilogue, so the MXU contraction overlaps the VPU's
     dequant/act/requant chain instead of waiting on it.
@@ -183,6 +191,13 @@ def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles, int4,
     (S, bn) multiply — combine weights are >= 0, so
     absmax(h*col) == absmax(h)*col and the quantized payload is identical.
     """
+    if int4:
+        (xq_ref, xs_ref, comb_ref, w1q_ref, w1sh_ref, w1s_ref, b1_ref,
+         w2q_ref, w2sh_ref, w2s_ref, out_ref,
+         acc_ref, hq_ref, hs_ref) = refs
+    else:
+        (xq_ref, xs_ref, comb_ref, w1q_ref, w1s_ref, b1_ref,
+         w2q_ref, w2s_ref, out_ref, acc_ref, hq_ref, hs_ref) = refs
     ni = pl.program_id(0)
 
     @pl.when(ni == 0)
@@ -193,7 +208,9 @@ def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles, int4,
     def _():
         xq = xq_ref[:]                                # (S, H) int8 resident
         acc1 = jax.lax.dot_general(
-            xq, maybe_unpack_int4(w1q_ref[0], int4), (((1,), (0,)), ((), ())),
+            xq, maybe_unpack_int4(w1q_ref[0], int4,
+                                  w1sh_ref[0] if int4 else None),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, BN)
         h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[0] + b1_ref[0]
         h = act_fn(h)
@@ -211,7 +228,9 @@ def _fat_kernel_pipelined(act_fn, tiles_per_expert, n_tiles, int4,
     @pl.when(ni > 0)
     def _():
         acc2 = jax.lax.dot_general(
-            hq_ref[(ni - 1) % 2], maybe_unpack_int4(w2q_ref[0], int4),
+            hq_ref[(ni - 1) % 2],
+            maybe_unpack_int4(w2q_ref[0], int4,
+                              w2sh_ref[0] if int4 else None),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)         # (S, H)
         acc_ref[:] += acc2.astype(jnp.float32) * hs_ref[(ni - 1) % 2]
@@ -238,6 +257,8 @@ def expert_ffn_fat(
     bf16_dot2: Optional[bool] = None,
     pipelined: Optional[bool] = None,
     int4: bool = False,   # w1t/w2t are int4 nibble-packed (models/quantize)
+    w1t_sh=None,          # int4: (H/128, E*I) / (L, H/128, E*I) int8 shifts
+    w2t_sh=None,          # int4: (E*I/128, H) / (L, E*I/128, H)
 ) -> jnp.ndarray:
     """Combined MoE FFN output (S, H); ``combine @ b2`` is added outside."""
     import os
@@ -258,6 +279,8 @@ def expert_ffn_fat(
         # Unstacked: present as a 1-layer stack.
         w1t_q, w2t_q = w1t_q[None], w2t_q[None]
         w1t_s, b1t, w2t_s = w1t_s[None], b1t[None], w2t_s[None]
+        if int4:
+            w1t_sh, w2t_sh = w1t_sh[None], w2t_sh[None]
         layer_idx = 0
     nl, _, ei = w1t_q.shape
     i = ei // num_experts
@@ -322,9 +345,13 @@ def expert_ffn_fat(
             pl.BlockSpec((sp, num_experts), lambda ni, li: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h // kdiv, bn), w1_map, memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, h // 128, bn), w1_map,
+                            memory_space=pltpu.VMEM)] if int4 else []),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), w1_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn // kdiv, h), w2_map, memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, bn // 128, h), w2_map,
+                            memory_space=pltpu.VMEM)] if int4 else []),
             pl.BlockSpec((1, 1, h), lambda ni, li: (li[0], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -339,8 +366,10 @@ def expert_ffn_fat(
         out_shape=jax.ShapeDtypeStruct((sp, h), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(lidx, xq, xs, combine, w1t_q, w1t_s.reshape(nl, 1, ei),
-      b1t.reshape(nl, 1, ei), w2t_q, w2t_s.reshape(nl, 1, h))
+    )(lidx, xq, xs, combine, w1t_q,
+      *([w1t_sh] if int4 else []), w1t_s.reshape(nl, 1, ei),
+      b1t.reshape(nl, 1, ei), w2t_q,
+      *([w2t_sh] if int4 else []), w2t_s.reshape(nl, 1, h))
     return out[:s]
 
 

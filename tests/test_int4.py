@@ -26,13 +26,41 @@ def test_pack_unpack_bijection():
     r = np.random.default_rng(0)
     for shape in [(256, 384), (3, 384, 256), (2, 4, 128, 256)]:
         w = jnp.asarray(r.standard_normal(shape), jnp.float32)
-        p, s = quantize_weight_int4(w)
+        p, s, sh = quantize_weight_int4(w)
         assert p.shape == shape[:-2] + (shape[-2] // 2, shape[-1])
         assert p.dtype == jnp.int8
-        q_direct = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int8)
-        assert bool(jnp.all(unpack_int4(p) == q_direct))
-        err = float(jnp.max(jnp.abs(dequantize_int4(p, s) - w)))
-        assert err <= float(jnp.max(s)) / 2 + 1e-6
+        assert sh.shape == shape[:-2] + (shape[-2] // 128, shape[-1])
+        assert bool(jnp.all(jnp.isin(sh, jnp.asarray([1, 2, 4, 8],
+                                                     jnp.int8))))
+        # Direct re-derivation of the group-wise grid: each group's values
+        # quantize on scale*shift and unpack returns them PRE-multiplied
+        # by the shift (int8 in [-56, 56]).
+        grid = s[..., None, :, :] * sh.astype(jnp.float32)[..., :, None, :]
+        wg = w.reshape(shape[:-2] + (shape[-2] // 128, 128, shape[-1]))
+        q_direct = (jnp.clip(jnp.round(wg / grid), -7, 7)
+                    * sh.astype(jnp.float32)[..., :, None, :]
+                    ).astype(jnp.int8).reshape(shape)
+        assert bool(jnp.all(unpack_int4(p, sh) == q_direct))
+        # Per-element error is bounded by HALF each group's own grid —
+        # at least as tight as the round-4 per-channel bound everywhere.
+        err = jnp.abs(dequantize_int4(p, s, sh) - w)
+        bound = jnp.broadcast_to(grid / 2 + 1e-6, wg.shape).reshape(shape)
+        assert bool(jnp.all(err <= bound))
+
+
+def test_groupwise_beats_per_channel_on_varied_groups():
+    """Channels whose 128-row groups have very different magnitudes get up
+    to 3 extra bits: construct one and check reconstruction error shrinks
+    vs the per-channel-scale grid."""
+    r = np.random.default_rng(11)
+    w = np.asarray(r.standard_normal((512, 64)), np.float32) * 0.01
+    w[:128] *= 100.0       # one loud group per channel dominates absmax
+    w = jnp.asarray(w)
+    p, s, sh = quantize_weight_int4(w)
+    err_grouped = float(jnp.max(jnp.abs(dequantize_int4(p, s, sh) - w)[128:]))
+    per_chan_grid = float(jnp.max(jnp.abs(w)) / 7.0)
+    # Quiet groups' error must be far below the per-channel grid step.
+    assert err_grouped < per_chan_grid / 4
 
 
 def test_pack_rejects_misaligned_contraction():
@@ -46,10 +74,11 @@ def test_group_local_tiles_unpack_independently():
     kernels' GEMM2 tiling relies on."""
     r = np.random.default_rng(1)
     w = jnp.asarray(r.standard_normal((512, 256)), jnp.float32)
-    p, s = quantize_weight_int4(w)
-    full = unpack_int4(p)
+    p, s, sh = quantize_weight_int4(w)
+    full = unpack_int4(p, sh)
     for start in (0, 128, 256):
-        tile = unpack_int4(p[start // 2:(start + 256) // 2, :])
+        tile = unpack_int4(p[start // 2:(start + 256) // 2, :],
+                           sh[start // 128:(start + 256) // 128, :])
         assert bool(jnp.all(tile == full[start:start + 256, :]))
 
 
@@ -60,9 +89,9 @@ def test_linear_int4_fallback_matches_dequant():
     w = jnp.asarray(r.standard_normal((256, 192)) * 0.05, jnp.float32)
     b = jnp.asarray(r.standard_normal((192,)) * 0.01, jnp.float32)
     x = jnp.asarray(r.standard_normal((5, 256)), jnp.float32)
-    p, s = quantize_weight_int4(w)
-    got = _linear({"w_q4": p, "w_s": s, "b": b}, x)
-    ref = x @ dequantize_int4(p, s) + b
+    p, s, sh = quantize_weight_int4(w)
+    got = _linear({"w_q4": p, "w_s": s, "w_sh": sh, "b": b}, x)
+    ref = x @ dequantize_int4(p, s, sh) + b
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
 
 
@@ -91,17 +120,21 @@ def test_attach_int4_ffn_pack():
     pack = q["layers"]["ffn"]["w4"]
     assert pack["w1"]["w_q4"].shape[-2] == 128 // 2
     assert pack["w2"]["w_q4"].shape[-2] == 256 // 2
+    assert pack["w1"]["w_sh"].shape[-2] == 128 // 128   # group-wise shifts
+    assert pack["w2"]["w_sh"].shape[-2] == 256 // 128
     # idempotent; int8 base untouched; mixer stays int8
     assert attach_int4_ffn(q) is q or "w4" in attach_int4_ffn(q)["layers"]["ffn"]
     assert "w_q" in q["layers"]["ffn"]["w1"]
     assert "w_q" in q["layers"]["attn"]["in_proj_x"]
 
 
-def _ffn_int4_reference(xq, xs, w1p, w1s, b1, w2p, w2s, b2, li):
-    acc = (xq.astype(jnp.float32) @ unpack_int4(w1p[li]).astype(jnp.float32)
+def _ffn_int4_reference(xq, xs, w1p, w1s, w1h, b1, w2p, w2s, w2h, b2, li):
+    acc = (xq.astype(jnp.float32)
+           @ unpack_int4(w1p[li], w1h[li]).astype(jnp.float32)
            ) * xs * w1s[li] + b1[li]
     hid = jax.nn.gelu(acc, approximate=False)
-    return hid @ (unpack_int4(w2p[li]).astype(jnp.float32) * w2s[li]) + b2[li]
+    return hid @ (unpack_int4(w2p[li], w2h[li]).astype(jnp.float32)
+                  * w2s[li]) + b2[li]
 
 
 def test_ffn_kernel_int4_matches_reference():
@@ -114,14 +147,16 @@ def test_ffn_kernel_int4_matches_reference():
     w2 = jnp.asarray(r.standard_normal((layers, i, h)) * 0.05, jnp.float32)
     b2 = jnp.asarray(r.standard_normal((layers, h)) * 0.02, jnp.float32)
     x = jnp.asarray(r.standard_normal((s_, h)) * 0.5, jnp.bfloat16)
-    w1p, w1s = quantize_weight_int4(w1)
-    w2p, w2s = quantize_weight_int4(w2)
+    w1p, w1s, w1h = quantize_weight_int4(w1)
+    w2p, w2s, w2h = quantize_weight_int4(w2)
     xq, xs = quantize_rows(x)
     for li in range(layers):
         got = ffn_decode_fused(xq, xs, w1p, w1s, b1, w2p, w2s, b2,
                                layer_idx=li, out_dtype=jnp.float32,
-                               block_n=128, int4=True)
-        ref = _ffn_int4_reference(xq, xs, w1p, w1s, b1, w2p, w2s, b2, li)
+                               block_n=128, int4=True,
+                               w1_sh=w1h, w2_sh=w2h)
+        ref = _ffn_int4_reference(xq, xs, w1p, w1s, w1h, b1,
+                                  w2p, w2s, w2h, b2, li)
         scale = float(jnp.max(jnp.abs(ref))) + 1e-6
         assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2, li
 
@@ -157,6 +192,8 @@ def test_fat_stack_int4_and_kernel_parity():
     layers, e, h, i = 2, 4, 128, 256
     assert fat4["w1t_q4"].shape == (layers, h // 2, e * i)
     assert fat4["w2t_q4"].shape == (layers, e * i // 2, h)
+    assert fat4["w1t_sh"].shape == (layers, h // 128, e * i)
+    assert fat4["w2t_sh"].shape == (layers, e * i // 128, h)
 
     r = np.random.default_rng(5)
     s_ = 16
