@@ -106,9 +106,10 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             from apertis_llm_tpu.ops.pallas.quant_matmul import (
                 quant_matmul_dyn_xla)
 
-            y = quant_matmul_dyn_xla(x, unpack_int4(p["w_q4"]), p["w_s"])
+            y = quant_matmul_dyn_xla(x, unpack_int4(p["w_q4"], p.get("w_sh")),
+                                     p["w_s"])
         else:
-            y = x @ (unpack_int4(p["w_q4"]).astype(x.dtype)
+            y = x @ (unpack_int4(p["w_q4"], p.get("w_sh")).astype(x.dtype)
                      * p["w_s"].astype(x.dtype))
         if "b" in p:
             y = y + p["b"]
@@ -207,7 +208,7 @@ def _linear_pre_q(p: Params, x_q: jnp.ndarray, x_s: jnp.ndarray,
     if "w_q4" in p:
         from apertis_llm_tpu.models.quantize import unpack_int4
 
-        w_q = unpack_int4(p["w_q4"])
+        w_q = unpack_int4(p["w_q4"], p.get("w_sh"))
     else:
         w_q = p["w_q"]
     acc = jax.lax.dot_general(
@@ -610,7 +611,8 @@ def _ffn(
                 xq, xs, w1["w_q4" if int4 else "w_q"], w1["w_s"], w1["b"],
                 w2["w_q4" if int4 else "w_q"], w2["w_s"], w2["b"],
                 layer_idx=layer_idx, out_dtype=x.dtype,
-                hidden_act=config.hidden_act, int4=int4)
+                hidden_act=config.hidden_act, int4=int4,
+                w1_sh=w1.get("w_sh"), w2_sh=w2.get("w_sh"))
         return y.reshape(*lead, y.shape[-1]), zero, zero
     act = get_activation(config.hidden_act)
     if x_quant is not None:
@@ -902,32 +904,30 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
         }
     heads, head_dim = config.num_attention_heads, config.head_dim
     if _paired_kv_layout(config, max_length):
-        # Paired KV layout for the fused decode-attention kernel
-        # (ops/pallas/mha_step.py): 128/head_dim adjacent heads share one
-        # 128-lane row so the multi-GB cache carries ZERO lane padding in
-        # HBM (head_dim < 128 would otherwise store half padding under the
-        # (8, 128) tile). prefill/decode_step pack/consume this layout.
-        # Under APERTIS_QUANT_KV=1 the paired cache stores int8 values
-        # with per-(pair-row, slot) f32 scale stacks — half the step's
-        # dominant HBM read again; the kernel dequantizes in VMEM.
-        pairs = 128 // head_dim
-        p_rows = heads // pairs
+        # Flat KV layout for the fused decode-attention kernel
+        # (ops/pallas/mha_step.py): slots store the head-flat (H*Dh)
+        # projection row directly, so the multi-GB cache carries ZERO lane
+        # padding in HBM whenever H*Dh is 128-aligned (head_dim < 128
+        # would otherwise store half padding under the (8, 128) tile) and
+        # the kernel computes all heads' scores in one MXU dot.
+        # Under APERTIS_QUANT_KV=1 the flat cache stores int8 values with
+        # per-(head, slot) f32 scale stacks — half the step's dominant
+        # HBM read again; the kernel dequantizes in VMEM.
+        d_flat = heads * head_dim
         if _quant_kv():
             return {
                 "k": jnp.zeros(
-                    (nl, batch_size, p_rows, max_length, 128), jnp.int8),
+                    (nl, batch_size, max_length, d_flat), jnp.int8),
                 "k_ps": jnp.zeros(
-                    (nl, batch_size, p_rows, max_length), jnp.float32),
+                    (nl, batch_size, heads, max_length), jnp.float32),
                 "v": jnp.zeros(
-                    (nl, batch_size, p_rows, max_length, 128), jnp.int8),
+                    (nl, batch_size, max_length, d_flat), jnp.int8),
                 "v_ps": jnp.zeros(
-                    (nl, batch_size, p_rows, max_length), jnp.float32),
+                    (nl, batch_size, heads, max_length), jnp.float32),
             }
         return {
-            "k": jnp.zeros(
-                (nl, batch_size, p_rows, max_length, 128), dtype),
-            "v": jnp.zeros(
-                (nl, batch_size, p_rows, max_length, 128), dtype),
+            "k": jnp.zeros((nl, batch_size, max_length, d_flat), dtype),
+            "v": jnp.zeros((nl, batch_size, max_length, d_flat), dtype),
         }
     if _quant_kv():
         # int8 KV serving cache (APERTIS_QUANT_KV=1): values quantize
@@ -955,8 +955,8 @@ def init_cache(config: ApertisConfig, batch_size: int, max_length: Optional[int]
 
 
 def _paired_kv_layout(config: ApertisConfig, max_length: int) -> bool:
-    """Whether the MHA decode cache uses the pair-packed (nl, B, H/pairs,
-    L, 128) layout consumed by the fused Pallas step kernel."""
+    """Whether the MHA decode cache uses the head-flat (nl, B, L, H*Dh)
+    layout consumed by the fused Pallas step kernel."""
     from apertis_llm_tpu.ops.pallas.mha_step import (
         pair_cache_fits, pair_kv_enabled)
 
@@ -965,19 +965,16 @@ def _paired_kv_layout(config: ApertisConfig, max_length: int) -> bool:
 
 
 def _cache_is_paired(config: ApertisConfig, cache: Params) -> bool:
-    """Detect the paired layout from the allocated cache itself (the env
+    """Detect the flat layout from the allocated cache itself (the env
     gate must not flip between init_cache and prefill/decode within one
-    served program; at head_dim == 128 the layouts coincide and the gate
-    alone decides the dispatch)."""
+    served program): the flat cache is 4-D (nl, B, L, H*Dh) where the
+    head-major layouts are 5-D."""
     if config.attention_type == "selective_ssm" or "k_s" in cache:
         return False
     k = cache["k"]
-    if k.shape[4] != 128 or config.head_dim > 128:
+    if k.ndim != 4:
         return False
-    pairs = 128 // config.head_dim
-    if k.shape[2] != config.num_attention_heads // pairs:
-        return False
-    return _paired_kv_layout(config, k.shape[3])
+    return _paired_kv_layout(config, k.shape[2])
 
 
 def _quant_kv() -> bool:
@@ -1057,27 +1054,37 @@ def prefill(
         kc, vc = stacked_cache["k"], stacked_cache["v"]
         if _cache_is_paired(config, cache):
             from apertis_llm_tpu.ops.pallas.mha_step import (
-                pack_cache, quantize_pairs)
+                pack_cache, quantize_heads)
 
-            pairs = 128 // config.head_dim
-            kc, vc = pack_cache(kc, pairs), pack_cache(vc, pairs)
+            kc, vc = pack_cache(kc), pack_cache(vc)   # (nl, B, L, H*Dh)
             if "k_ps" in cache:
-                # int8 paired cache: quantize the prompt's packed K/V per
-                # (pair-row, slot) on the way in.
-                kc, ks = quantize_pairs(kc)
-                vc, vs = quantize_pairs(vc)
+                # int8 flat cache: quantize the prompt's K/V per
+                # (head, slot) on the way in; scales store head-major
+                # (nl, B, H, L) so the kernel's scale blocks stay compact.
+                kc, ks = quantize_heads(kc, config.head_dim)
+                vc, vs = quantize_heads(vc, config.head_dim)
+                ks, vs = jnp.moveaxis(ks, 3, 2), jnp.moveaxis(vs, 3, 2)
                 new_cache = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kc, (0, 0, 0, 0, 0)),
+                        cache["k"], kc, (0, 0, 0, 0)),
                     "k_ps": jax.lax.dynamic_update_slice(
                         cache["k_ps"], ks, (0, 0, 0, 0)),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vc, (0, 0, 0, 0, 0)),
+                        cache["v"], vc, (0, 0, 0, 0)),
                     "v_ps": jax.lax.dynamic_update_slice(
                         cache["v_ps"], vs, (0, 0, 0, 0)),
                 }
-                return PrefillOutput(logits, new_cache,
-                                     jnp.asarray(l_total, jnp.int32))
+            else:
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kc.astype(cache["k"].dtype),
+                        (0, 0, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vc.astype(cache["v"].dtype),
+                        (0, 0, 0, 0)),
+                }
+            return PrefillOutput(logits, new_cache,
+                                 jnp.asarray(l_total, jnp.int32))
         # stacked (nl, B, H, L, Dh) -> write into preallocated ring at [0:L]
         new_cache = {
             "k": jax.lax.dynamic_update_slice(
@@ -1123,7 +1130,9 @@ def decode_step(
             config.hidden_size, config.max_position_embeddings, config.rope_theta)
 
     if not is_ssm:
-        max_len = cache["k"].shape[3]
+        # Flat (nl, B, L, H*Dh) fused-kernel layout vs head-major
+        # (nl, B, H, L, Dh): the slot axis moves.
+        max_len = cache["k"].shape[2 if cache["k"].ndim == 4 else 3]
         if attn_mask_row is None:
             valid = jnp.arange(max_len)[None, :] <= t
             valid = jnp.broadcast_to(valid, (b, max_len))
@@ -1241,8 +1250,8 @@ def decode_step(
             # plus the fresh token's self-term in one VMEM pass.
             from apertis_llm_tpu.ops.pallas.mha_step import NEG as _MHA_NEG
 
-            bias_t = jnp.where(valid_cache, 0.0, _MHA_NEG)[
-                ..., None].astype(jnp.float32)              # (B, Lmax, 1)
+            bias_t = jnp.where(valid_cache, 0.0,
+                               _MHA_NEG).astype(jnp.float32)  # (B, Lmax)
             k_full, v_full = cache["k"], cache["v"]
             kv_q = "k_ps" in cache
             ks_full = cache["k_ps"] if kv_q else None
@@ -1289,28 +1298,29 @@ def decode_step(
                 body_mha_paired, h, (layers, arange_l),
                 unroll=_decode_unroll(config.num_hidden_layers))
             if kv_q:
-                from apertis_llm_tpu.ops.pallas.mha_step import quantize_pairs
+                from apertis_llm_tpu.ops.pallas.mha_step import quantize_heads
 
-                kq_st, ks_st = quantize_pairs(kp_stack)     # (nl, B, P[, .])
-                vq_st, vs_st = quantize_pairs(vp_stack)
+                kq_st, ks_st = quantize_heads(kp_stack,
+                                              config.head_dim)  # (nl, B, ·)
+                vq_st, vs_st = quantize_heads(vp_stack, config.head_dim)
                 new_cache = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kq_st[:, :, :, None, :], (0, 0, 0, t, 0)),
+                        cache["k"], kq_st[:, :, None, :], (0, 0, t, 0)),
                     "k_ps": jax.lax.dynamic_update_slice(
                         cache["k_ps"], ks_st[:, :, :, None], (0, 0, 0, t)),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vq_st[:, :, :, None, :], (0, 0, 0, t, 0)),
+                        cache["v"], vq_st[:, :, None, :], (0, 0, t, 0)),
                     "v_ps": jax.lax.dynamic_update_slice(
                         cache["v_ps"], vs_st[:, :, :, None], (0, 0, 0, t)),
                 }
             else:
                 new_cache = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kp_stack[:, :, :, None, :].astype(
-                            cache["k"].dtype), (0, 0, 0, t, 0)),
+                        cache["k"], kp_stack[:, :, None, :].astype(
+                            cache["k"].dtype), (0, 0, t, 0)),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vp_stack[:, :, :, None, :].astype(
-                            cache["v"].dtype), (0, 0, 0, t, 0)),
+                        cache["v"], vp_stack[:, :, None, :].astype(
+                            cache["v"].dtype), (0, 0, t, 0)),
                 }
             h = _apply_norm(params["final_norm"], h, eps)
             logits = _lm_head(params, h)[:, 0, :]
@@ -1406,7 +1416,8 @@ def decode_step(
                         xq2, xs2, w1["w_q4" if i4 else "w_q"], w1["w_s"],
                         w1["b"], w2["w_q4" if i4 else "w_q"], w2["w_s"],
                         w2["b"], layer_idx=li, out_dtype=h2.dtype,
-                        hidden_act=config.hidden_act, int4=i4)
+                        hidden_act=config.hidden_act, int4=i4,
+                        w1_sh=w1.get("w_sh"), w2_sh=w2.get("w_sh"))
                 return (h2 + y)[:, None, :], new_layer_cache
             if ffn_mode == "moe":
                 from apertis_llm_tpu.ops.pallas.moe_ffn import expert_ffn_fat
@@ -1421,7 +1432,8 @@ def decode_step(
                     fat_stack["w2t_s"],
                     config.num_experts, layer_idx=li,
                     out_dtype=jnp.float32, hidden_act=config.hidden_act,
-                    int4=i4)
+                    int4=i4, w1t_sh=fat_stack.get("w1t_sh"),
+                    w2t_sh=fat_stack.get("w2t_sh"))
                 y = y + comb @ lp["ffn"]["experts"]["b2"].astype(jnp.float32)
                 return (h2 + y.astype(h2.dtype))[:, None, :], new_layer_cache
             h = h2[:, None, :]
@@ -1480,21 +1492,20 @@ def _mha_decode_step(lp, config, x, k_l, v_l, pos, valid_cache, cos_t, sin_t,
 def _mha_decode_step_paired(lp, config, x, k_stack, v_stack, pos, bias_t,
                             cos_t, sin_t, layer_idx, x_quant=None,
                             ks_stack=None, vs_stack=None):
-    """Single-token MHA step over the pair-packed cache via the fused
+    """Single-token MHA step over the head-flat cache via the fused
     Pallas decode-attention kernel (ops/pallas/mha_step.py).
 
     Projections + RoPE stay XLA (they are weight-bound); the attention
     score/mask/softmax/context chain — the step's dominant HBM term, the
-    full-cache read — runs in one Pallas pass over the padding-free
-    paired layout. With ``x_quant`` (the fused-LN int8 activations from
+    full-cache read — runs in one Pallas pass over the padding-free flat
+    layout. With ``x_quant`` (the fused-LN int8 activations from
     the quantized serving tree) the four projections run as int8 x int8
     MXU dots — at decode row counts XLA's weight-only lowering was
     measured MATERIALISING dequantized bf16 copies of the K/V projection
     matrices every layer step (1.6 ms of the round-4 10.2 ms b64 step),
     which the pre-quantized dot avoids entirely. Returns
-    (attn_out, k_pair, v_pair) with the fresh slot's pair-packed
-    (B, P, 128) K/V for the caller's single post-scan slot-column
-    write."""
+    (attn_out, k_flat, v_flat) with the fresh slot's head-flat (B, D)
+    K/V for the caller's single post-scan slot-column write."""
     from apertis_llm_tpu.ops.pallas.mha_step import mha_decode_ctx, pack_heads
 
     out_dtype = jnp.dtype(config.dtype)
@@ -1513,7 +1524,7 @@ def _mha_decode_step_paired(lp, config, x, k_stack, v_stack, pos, bias_t,
     if config.position_embedding_type == "rotary":
         q = apply_rope(q, pos, cos_t, sin_t)
         k = apply_rope(k, pos, cos_t, sin_t)
-    qp = pack_heads(q)                                    # (B, P, 128)
+    qp = pack_heads(q)                                    # (B, H*Dh)
     kp = pack_heads(k)
     vp = pack_heads(v)
     if ks_stack is None:

@@ -1,9 +1,10 @@
 """Fused MHA decode-attention kernel (ops/pallas/mha_step.py) parity.
 
-The paired-KV layout packs 128/head_dim adjacent heads into one 128-lane
-cache row (zero HBM lane padding) and the Pallas kernel fuses the decode
-step's score/mask/softmax/context chain plus the fresh token's self-term.
-These tests pin it (interpret mode on CPU, ``APERTIS_MHA_STEP=force``)
+The flat KV layout stores each slot as the head-flat (H*Dh) projection
+row (zero HBM lane padding when H*Dh is 128-aligned) and the Pallas
+kernel fuses the decode step's score/mask/softmax/context chain plus the
+fresh token's self-term, with all heads' scores in one MXU dot. These
+tests pin it (interpret mode on CPU, ``APERTIS_MHA_STEP=force``)
 against the XLA self-term path (ops/attention.decode_attention_selfterm),
 which is itself parity-pinned against the PyTorch reference
 (src/model/core.py:705-832) by test_parity/test_decode.
@@ -42,11 +43,11 @@ def _cfg(**over):
     return ApertisConfig(**base)
 
 
-@pytest.mark.parametrize("head_dim,heads", [(32, 4), (64, 2), (128, 2)])
+@pytest.mark.parametrize("head_dim,heads", [(32, 4), (64, 2), (128, 2),
+                                            (64, 6)])
 def test_kernel_matches_xla_selfterm(head_dim, heads):
     """Raw kernel vs decode_attention_selfterm on random tensors."""
     nl, b, l = 3, 4, 24
-    pairs = 128 // head_dim
     rng = np.random.default_rng(0)
 
     def t(*shape):
@@ -65,12 +66,13 @@ def test_kernel_matches_xla_selfterm(head_dim, heads):
     want = attn_ops.decode_attention_selfterm(
         q, k_cache[li], v_cache[li], k_new, v_new, valid)  # (B, H, 1, Dh)
 
-    bias = jnp.where(valid, 0.0, -1e30)[..., None].astype(jnp.float32)
-    qp = q[:, :, 0, :].reshape(b, heads // pairs, 128)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)   # (B, L)
+    d = heads * head_dim
     got = mha_decode_ctx(
-        qp, pack_cache(k_cache, pairs), pack_cache(v_cache, pairs),
-        k_new[:, :, 0, :].reshape(b, heads // pairs, 128),
-        v_new[:, :, 0, :].reshape(b, heads // pairs, 128),
+        q[:, :, 0, :].reshape(b, d), pack_cache(k_cache),
+        pack_cache(v_cache),
+        k_new[:, :, 0, :].reshape(b, d),
+        v_new[:, :, 0, :].reshape(b, d),
         bias, li, head_dim=head_dim)
     got = got.reshape(b, heads, 1, head_dim)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -88,7 +90,7 @@ def test_decode_step_matches_plain(force_mha_step):
     def run(paired):
         os.environ["APERTIS_MHA_STEP"] = "force" if paired else "0"
         cache = M.init_cache(cfg, 2, max_length=16)
-        assert (cache["k"].shape[4] == 128) == paired
+        assert (cache["k"].ndim == 4) == paired
         pre = M.prefill(params, cfg, cache, ids, attention_mask=mask)
         cache = pre.cache
         lens = mask.sum(axis=1)
@@ -134,20 +136,21 @@ def test_engine_greedy_matches_plain(force_mha_step):
 
 
 def test_gates(force_mha_step):
-    """Non-dividing head counts and SSM keep the XLA path; QUANT_KV under
-    the paired gate allocates the int8 paired layout with scale stacks."""
+    """Non-128-aligned flat dims and SSM keep the XLA path; QUANT_KV under
+    the flat gate allocates the int8 flat layout with scale stacks."""
     assert pair_kv_enabled(_cfg())
     assert not pair_kv_enabled(_cfg(attention_type="selective_ssm"))
-    # 3 heads at head_dim 32 (pairs=4): not pair-packable.
+    # 3 heads at head_dim 32: H*Dh = 96 isn't a 128-lane multiple.
     assert not pair_kv_enabled(
         _cfg(hidden_size=96, num_attention_heads=3))
     os.environ["APERTIS_QUANT_KV"] = "1"
     try:
         assert pair_kv_enabled(_cfg())
         cache = M.init_cache(_cfg(), 2, max_length=16)
-        assert cache["k"].dtype == jnp.int8 and cache["k"].shape[4] == 128
-        assert cache["k_ps"].shape == (3, 2, 1, 16)
-        # non-paired configs keep the round-3 int8 layout
+        assert cache["k"].dtype == jnp.int8
+        assert cache["k"].shape == (3, 2, 16, 128)      # (nl, B, L, H*Dh)
+        assert cache["k_ps"].shape == (3, 2, 4, 16)     # (nl, B, H, L)
+        # non-flat configs keep the round-3 int8 layout
         cache = M.init_cache(_cfg(hidden_size=96, num_attention_heads=3),
                              2, max_length=16)
         assert "k_s" in cache and cache["k"].shape[4] == 32
@@ -207,7 +210,7 @@ def test_decode_step_quantized_tree(force_mha_step):
     def step(paired):
         os.environ["APERTIS_MHA_STEP"] = "force" if paired else "0"
         cache = M.init_cache(cfg, 2, max_length=16)
-        assert (cache["k"].shape[4] == 128) == paired
+        assert (cache["k"].ndim == 4) == paired
         pre = M.prefill(params, cfg, cache, ids)
         logits, _ = M.decode_step(
             params, cfg, pre.cache, jnp.argmax(pre.logits[:, -1], -1),
