@@ -1265,16 +1265,29 @@ def decode_step(
             def body_mha_paired(hc, xs):
                 lp, li = xs
                 if mha_q8:
-                    from apertis_llm_tpu.ops.pallas.ln_quant import (
-                        ln_quantize)
+                    if os.environ.get("APERTIS_MHA_LNQ", "xla") == "xla":
+                        # Decode-row LN+quantize in plain XLA: at 64-256
+                        # rows the fused ln_quant Pallas call is overhead-
+                        # bound (xplane: 64 us/call on a 311 KB block,
+                        # 1.29 ms of the b64 step across 20 layers), and
+                        # XLA fuses the chain into neighbours instead.
+                        from apertis_llm_tpu.ops.pallas.quant_matmul import (
+                            quantize_rows)
 
-                    pre = lp["attn"]["pre_norm"]
-                    if "scale" in pre:
-                        xq8, xs8 = ln_quantize(hc[:, 0, :], pre["scale"],
-                                               None, eps=eps, rms=True)
+                        normed = _apply_norm(lp["attn"]["pre_norm"], hc, eps)
+                        xq8, xs8 = quantize_rows(normed[:, 0, :])
                     else:
-                        xq8, xs8 = ln_quantize(hc[:, 0, :], pre["w"],
-                                               pre["b"], eps=eps, rms=False)
+                        from apertis_llm_tpu.ops.pallas.ln_quant import (
+                            ln_quantize)
+
+                        pre = lp["attn"]["pre_norm"]
+                        if "scale" in pre:
+                            xq8, xs8 = ln_quantize(hc[:, 0, :], pre["scale"],
+                                                   None, eps=eps, rms=True)
+                        else:
+                            xq8, xs8 = ln_quantize(hc[:, 0, :], pre["w"],
+                                                   pre["b"], eps=eps,
+                                                   rms=False)
                     attn_out, kp, vp = _mha_decode_step_paired(
                         lp["attn"], config, None, k_full, v_full, pos,
                         bias_t, cos_t, sin_t, li, x_quant=(xq8, xs8),
