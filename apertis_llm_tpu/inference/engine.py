@@ -384,6 +384,14 @@ class InferenceEngine:
             from apertis_llm_tpu.models.quantize import attach_int4_ffn
 
             attach_steps.append(attach_int4_ffn)
+        if (config.attention_type == "standard_mha" and mesh is None
+                and os.environ.get("APERTIS_MHA_QKV", "1") == "1"):
+            # Fused QKV decode projection (models/quantize.attach_qkv_mha):
+            # one int8 dot + dequant per layer instead of three. No-op on
+            # non-int8 trees.
+            from apertis_llm_tpu.models.quantize import attach_qkv_mha
+
+            attach_steps.append(attach_qkv_mha)
         if (config.attention_type == "selective_ssm" and mesh is None
                 and os.environ.get("APERTIS_SSM_STEP", "auto") != "0"):
             # Fused SSM decode-step weight pack (models/ssm_fuse.py): a

@@ -1525,9 +1525,15 @@ def _mha_decode_step_paired(lp, config, x, k_stack, v_stack, pos, bias_t,
     if x_quant is not None:
         x_q, x_s = x_quant
         b = x_q.shape[0]
-        q = _linear_pre_q(lp["q"], x_q, x_s, out_dtype)[:, None, :]
-        k = _linear_pre_q(lp["k"], x_q, x_s, out_dtype)[:, None, :]
-        v = _linear_pre_q(lp["v"], x_q, x_s, out_dtype)[:, None, :]
+        if "qkv" in lp:
+            # Fused QKV stack (models/quantize.attach_qkv_mha): one int8
+            # dot + dequant epilogue; the split is a lane-aligned slice.
+            y = _linear_pre_q(lp["qkv"], x_q, x_s, out_dtype)
+            q, k, v = (z[:, None, :] for z in jnp.split(y, 3, axis=-1))
+        else:
+            q = _linear_pre_q(lp["q"], x_q, x_s, out_dtype)[:, None, :]
+            k = _linear_pre_q(lp["k"], x_q, x_s, out_dtype)[:, None, :]
+            v = _linear_pre_q(lp["v"], x_q, x_s, out_dtype)[:, None, :]
     else:
         b = x.shape[0]
         q = _linear(lp["q"], x)

@@ -217,6 +217,36 @@ def attach_int4_ffn(params: Params, config=None) -> Params:
     return out
 
 
+def attach_qkv_mha(params: Params, config=None) -> Params:
+    """Attach a fused QKV projection for the MHA decode scan.
+
+    Concatenates the int8 q/k/v projection stacks along the output axis
+    (``layers.attn["qkv"] = {w_q: (L, H, 3H), w_s, b?}``) so the decode
+    step runs ONE int8 MXU dot + dequant epilogue per layer instead of
+    three — at decode row counts each extra dot carries its own dispatch
+    and (rows, H)-sized dequant fusion. The split back into q/k/v is a
+    lane-tile-aligned slice. Costs one extra int8 copy of the attention
+    projections in HBM; the originals stay for prefill. No-op unless the
+    tree is an int8 MHA layout."""
+    attn = params.get("layers", {}).get("attn")
+    if not isinstance(attn, dict) or "qkv" in attn:
+        return params
+    parts = [attn.get(k) for k in ("q", "k", "v")]
+    if not all(isinstance(p, dict) and "w_q" in p for p in parts):
+        return params
+    fused = {
+        "w_q": jnp.concatenate([p["w_q"] for p in parts], axis=-1),
+        "w_s": jnp.concatenate([p["w_s"] for p in parts], axis=-1),
+    }
+    if all("b" in p for p in parts):
+        fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["attn"] = dict(attn)
+    out["layers"]["attn"]["qkv"] = fused
+    return out
+
+
 def tree_is_quantized(params: Params) -> bool:
     """True if any linear in the tree carries int8 serving weights."""
     if not isinstance(params, dict):

@@ -224,3 +224,31 @@ def test_decode_step_quantized_tree(force_mha_step):
     err = float(jnp.max(jnp.abs(paired - plain))) / scale
     assert err < 3e-2, err
     assert jnp.array_equal(jnp.argmax(plain, -1), jnp.argmax(paired, -1))
+
+
+def test_decode_step_fused_qkv_matches_split(force_mha_step):
+    """attach_qkv_mha's concatenated projection stack produces the same
+    logits as the three split dots (exact: same int8 payloads, same math,
+    different fusion grouping)."""
+    from apertis_llm_tpu.models.quantize import attach_qkv_mha, quantize_params
+
+    cfg = _cfg()
+    params = quantize_params(init_params(jax.random.PRNGKey(7), cfg),
+                             min_size=0)
+    fused_params = attach_qkv_mha(params)
+    assert "qkv" in fused_params["layers"]["attn"]
+    assert attach_qkv_mha(fused_params) is fused_params       # idempotent
+    ids = jnp.asarray([[3, 17, 29, 5], [11, 23, 2, 9]], jnp.int32)
+
+    def step(p):
+        cache = M.init_cache(cfg, 2, max_length=16)
+        pre = M.prefill(p, cfg, cache, ids)
+        logits, _ = M.decode_step(
+            p, cfg, pre.cache, jnp.argmax(pre.logits[:, -1], -1),
+            jnp.asarray(4, jnp.int32))
+        return logits
+
+    split = step(params)
+    fused = step(fused_params)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                               atol=1e-4, rtol=1e-4)
