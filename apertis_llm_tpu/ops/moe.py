@@ -467,8 +467,10 @@ def moe_ragged(
     """
     s, h = x.shape
     k = routing.indices.shape[1]
-    expert_params = _maybe_dequant_experts(expert_params, x.dtype)
-    num_experts = expert_params["w1"].shape[0]
+    int8 = _use_dyn_int8(expert_params, s * k)
+    if not int8:
+        expert_params = _maybe_dequant_experts(expert_params, x.dtype)
+    num_experts = expert_params["ln_w"].shape[0]
     act_fn = get_activation(hidden_act)
 
     flat_e = routing.indices.reshape(-1)                 # (S*K) token-major
@@ -484,10 +486,34 @@ def moe_ragged(
     xs = x[tok]                                          # (S*K, H) grouped
     xn = layer_norm(xs, expert_params["ln_w"][e_sorted],
                     expert_params["ln_b"][e_sorted], eps=layer_norm_eps)
-    hmid = jax.lax.ragged_dot(xn, expert_params["w1"], group_sizes)
-    hmid = act_fn(hmid + expert_params["b1"][e_sorted])
-    y = jax.lax.ragged_dot(hmid, expert_params["w2"], group_sizes)
-    y = y + expert_params["b2"][e_sorted]
+    if int8:
+        # Dynamic-activation int8 grouped matmuls: the prefill/training
+        # grouped GEMMs run on the int8 MXU path (449 vs 190 bf16 TFLOP/s
+        # measured on dense decode-shaped chains) and the expert weights
+        # stream at int8 width with NO dequantized copy — the bf16 branch
+        # materialises dequantized (E, H, I) stacks per layer under
+        # XLA's ragged_dot lowering. Per-row expert scale gathers fuse
+        # like the existing bias gathers.
+        from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+        ep = expert_params
+        xq, xss = quantize_rows(xn)
+        acc1 = jax.lax.ragged_dot(xq, ep["w1_q"], group_sizes,
+                                  preferred_element_type=jnp.int32)
+        hmid = (acc1.astype(jnp.float32) * xss
+                * ep["w1_s"].reshape(num_experts, -1)[e_sorted])
+        hmid = act_fn(hmid + ep["b1"][e_sorted])
+        hq, hss = quantize_rows(hmid)
+        acc2 = jax.lax.ragged_dot(hq, ep["w2_q"], group_sizes,
+                                  preferred_element_type=jnp.int32)
+        y = (acc2.astype(jnp.float32) * hss
+             * ep["w2_s"].reshape(num_experts, -1)[e_sorted])
+        y = (y + ep["b2"][e_sorted]).astype(x.dtype)
+    else:
+        hmid = jax.lax.ragged_dot(xn, expert_params["w1"], group_sizes)
+        hmid = act_fn(hmid + expert_params["b1"][e_sorted])
+        y = jax.lax.ragged_dot(hmid, expert_params["w2"], group_sizes)
+        y = y + expert_params["b2"][e_sorted]
 
     y = y * flat_w[order][:, None]
     out = jnp.zeros_like(x)

@@ -40,6 +40,31 @@ def test_ragged_equals_dense():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ragged_int8_matches_bf16_path():
+    """Dynamic-activation int8 grouped matmuls (the prefill path on int8
+    serving trees) stay within the activation-rounding band of the
+    dequantized bf16 ragged path and keep the routing/dispatch exact."""
+    import os
+
+    from apertis_llm_tpu.models.quantize import quantize_weight
+
+    x, routing, params = _setup(s=96, h=64, inter=128)
+    qparams = dict(params)
+    for key in ("w1", "w2"):
+        q, sc = quantize_weight(params[key])
+        qparams[key + "_q"], qparams[key + "_s"] = q, sc
+        del qparams[key]
+    ref = moe_ops.moe_ragged(x, routing, params, "gelu", 1e-12)
+    os.environ["APERTIS_QUANT_MATMUL"] = "dyn"   # force int8 off-TPU
+    try:
+        got = moe_ops.moe_ragged(x, routing, qparams, "gelu", 1e-12)
+    finally:
+        del os.environ["APERTIS_QUANT_MATMUL"]
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 2e-2, err
+
+
 def test_dispatch_with_ample_capacity_equals_dense():
     x, routing, params = _setup()
     dense = moe_ops.moe_dense(x, routing, params, "gelu", 1e-12)
