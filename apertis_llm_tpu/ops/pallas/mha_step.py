@@ -58,11 +58,13 @@ def _kernel(quant, lidx_ref, *refs):
     else:
         (q_ref, kn_ref, vn_ref, bias_ref, seg_ref, segt_ref,
          k_ref, v_ref, out_ref) = refs
+    # Per-row operands carry a singleton middle axis so their (1, dims)
+    # blocks satisfy Mosaic's last-two-dims rule; ref[0] drops it.
     seg = seg_ref[:]                              # (D, H) 0/1 f32
     segt = segt_ref[:]                            # (H, D)
-    q = q_ref[:].astype(jnp.float32)              # (1, D), pre-scaled
-    kn = kn_ref[:].astype(jnp.float32)            # (1, D)
-    bias = jnp.swapaxes(bias_ref[:], 0, 1)        # (L, 1) f32
+    q = q_ref[0].astype(jnp.float32)              # (1, D), pre-scaled
+    kn = kn_ref[0].astype(jnp.float32)            # (1, D)
+    bias = jnp.swapaxes(bias_ref[0], 0, 1)        # (L, 1) f32
     k_blk = k_ref[0, 0]                           # (L, D) bf16 / int8
 
     # Self-term scores for every head at once — full-precision q even on
@@ -75,7 +77,7 @@ def _kernel(quant, lidx_ref, *refs):
         # int8 cache: ONE int8 x int8 MXU dot for all heads' scores. The
         # segment fold runs in f32 (Mosaic has no int8 vector multiply)
         # and converts back — exact for int8-valued floats times 0/1.
-        qi_t = jnp.swapaxes(qi_ref[:].astype(jnp.float32), 0, 1)  # (D, 1)
+        qi_t = jnp.swapaxes(qi_ref[0].astype(jnp.float32), 0, 1)  # (D, 1)
         qseg = (seg * qi_t).astype(jnp.int8)                      # (D, H)
         s = jax.lax.dot_general(
             k_blk, qseg, (((1,), (0,)), ((), ())),
@@ -84,7 +86,7 @@ def _kernel(quant, lidx_ref, *refs):
         # (H, L) scale blocks into (L, H) for the dequant broadcast
         # (storing them H-minor would tile-pad H=38 lanes to 128 in HBM).
         ks_t = jnp.swapaxes(ks_ref[0, 0], 0, 1)                   # (L, H)
-        s = s.astype(jnp.float32) * (ks_t * qs_ref[:])
+        s = s.astype(jnp.float32) * (ks_t * qs_ref[0])
         vs_t = jnp.swapaxes(vs_ref[0, 0], 0, 1)
     else:
         q_t = jnp.swapaxes(q, 0, 1)                               # (D, 1)
@@ -118,11 +120,11 @@ def _kernel(quant, lidx_ref, *refs):
     ctx = jnp.sum(c_all * segt, axis=0, keepdims=True)            # (1, D)
     ctx = ctx + jax.lax.dot_general(
         p_self, segt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * vn_ref[:].astype(jnp.float32)
+        preferred_element_type=jnp.float32) * vn_ref[0].astype(jnp.float32)
     inv = jax.lax.dot_general(
         1.0 / denom, segt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[:] = (ctx * inv).astype(out_ref.dtype)
+    out_ref[0] = (ctx * inv).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("head_dim",))
@@ -154,8 +156,11 @@ def mha_decode_ctx(
     segt = jnp.swapaxes(seg, 0, 1)                    # (H, D)
 
     def rows(*dims):
-        return pl.BlockSpec((1,) + dims,
-                            lambda bi, li: (bi,) + (0,) * len(dims),
+        # (B, 1, dims) arrays with (1, 1, dims) blocks: the singleton
+        # middle axis keeps Mosaic's last-two-block-dims rule satisfied
+        # (the trailing dims equal the array's).
+        return pl.BlockSpec((1, 1) + dims,
+                            lambda bi, li: (bi,) + (0,) * (len(dims) + 1),
                             memory_space=pltpu.VMEM)
 
     def fixed(*dims):
@@ -199,13 +204,15 @@ def mha_decode_ctx(
         ],
         out_specs=rows(d),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, quant),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(lidx, q, *extra_in, k_new, v_new, bias, seg, segt,
+    )(lidx, q[:, None, :], *[z[:, None, :] for z in extra_in],
+      k_new[:, None, :], v_new[:, None, :], bias[:, None, :], seg, segt,
       k_stack, v_stack, *sc_in)
+    return out[:, 0, :]
 
 
 def pair_kv_enabled(config) -> bool:
