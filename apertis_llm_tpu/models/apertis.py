@@ -581,6 +581,18 @@ def _ffn(
                 out = moe_ops.moe_dense(
                     flat, routing, lp["experts"], config.hidden_act, eps,
                     active_mask=active)
+        elif (not training and fat_stack is not None
+              and layer_idx is not None):
+            # Prefill grouped path (ops/pallas/moe_grouped.py): tile-padded
+            # expert-sorted dispatch through the fused grouped-FFN kernel —
+            # replaces ragged_dot (a custom-call XLA can't fuse operands or
+            # epilogues into; the scanned expert stacks were measured
+            # materialising ~10 ms/layer of weight copies at 1.5B b256).
+            # The caller hoists the fat stack + passes the layer index;
+            # eligibility is checked at hoist time (grouped_eligible).
+            out = moe_ops.moe_grouped_fat(
+                flat, routing, lp["experts"], config.hidden_act, eps,
+                fat_stack, layer_idx, active_mask=active)
         else:
             out = moe_ops.moe_ragged(
                 flat, routing, lp["experts"], config.hidden_act, eps,
@@ -645,6 +657,8 @@ def _layer_full(
     seq_mask: Optional[jnp.ndarray] = None,
     seq_lens: Optional[jnp.ndarray] = None,
     cp_kv_valid: Optional[jnp.ndarray] = None,
+    fat_stack: Optional[Params] = None,   # hoisted MoE fat stack (L, ...)
+    layer_idx=None,                       # int32 index into the stack
 ):
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     eps = config.layer_norm_eps
@@ -677,7 +691,8 @@ def _layer_full(
         ffn_consumers = (fp.get("w1"),)
     normed, ffn_quant = _maybe_ln_quant(fp["pre_norm"], h, eps, ffn_consumers)
     ffn_out, lb, rz = _ffn(fp, config, normed, training=training,
-                           rng=rngs[2], x_quant=ffn_quant, out_dtype=h.dtype)
+                           rng=rngs[2], x_quant=ffn_quant, out_dtype=h.dtype,
+                           fat_stack=fat_stack, layer_idx=layer_idx)
     h = h + _dropout(rngs[3], ffn_out, config.hidden_dropout_prob, training)
     return h, cache, lb, rz, probs
 
@@ -1019,16 +1034,35 @@ def prefill(
     seq_mask = attention_mask
     seq_lens = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
 
+    # Hoist the MoE fat stack OUT of the scanned tree for the grouped
+    # prefill kernel (scan xs would dynamic-slice a full weight copy per
+    # layer — ragged_dot's measured pathology); the kernel scalar-
+    # prefetches the layer index into the resident (L, ...) stack.
+    layers = params["layers"]
+    fat_pre = None
+    if config.use_expert_system and config.num_experts > 0:
+        from apertis_llm_tpu.ops.pallas.moe_grouped import grouped_eligible
+
+        experts = layers.get("ffn", {}).get("experts", {})
+        fat = experts.get("fat") if isinstance(experts, dict) else None
+        if fat is not None and grouped_eligible(fat, config.num_experts):
+            fat_pre = fat
+            layers = dict(layers)
+            layers["ffn"] = dict(layers["ffn"])
+            layers["ffn"]["experts"] = {
+                k: v for k, v in experts.items() if k != "fat"}
+
     def body(h, xs):
         lp, idx = xs
         h, layer_cache, _, _, _ = _layer_full(
             lp, config, h, bias, pos_ids, cos_t, sin_t,
             training=False, rng=None, want_cache=True,
-            seq_mask=seq_mask, seq_lens=seq_lens)
+            seq_mask=seq_mask, seq_lens=seq_lens,
+            fat_stack=fat_pre, layer_idx=idx)
         return h, layer_cache
 
     h, stacked_cache = jax.lax.scan(
-        body, embeds, (params["layers"], jnp.arange(config.num_hidden_layers)))
+        body, embeds, (layers, jnp.arange(config.num_hidden_layers)))
     h = _apply_norm(params["final_norm"], h, config.layer_norm_eps)
     h_text = h[:, num_img:, :] if num_img > 0 else h
     if logit_positions is not None:

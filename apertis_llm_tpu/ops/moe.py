@@ -449,6 +449,83 @@ def moe_dispatch(
     return out
 
 
+def moe_grouped_fat(
+    x: jnp.ndarray,            # (S, H)
+    routing: RouterOutput,
+    expert_params: dict,       # carries b2 (the fat layout folds the rest)
+    hidden_act: str,
+    layer_norm_eps: float,
+    fat_stack: dict,           # layer-stacked fat tensors (L, ...) — hoisted
+    layer_idx,                 # int32 layer index into the stack
+    active_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Tile-padded grouped dispatch through the Pallas grouped-FFN kernel
+    (ops/pallas/moe_grouped.py) — the PREFILL analogue of the fat decode
+    kernel, replacing ragged_dot. Each expert's sorted row group is padded
+    to a 128-row tile multiple so every kernel tile belongs to one expert;
+    padding rows carry zero activations and are never gathered back.
+
+    Shares the fat stack's numerics: per-expert LN affine folded into W1
+    (one shared un-affine normalize + int8 quantize over the S tokens),
+    dynamic-activation int8 GEMMs, W2 scales shared per output channel,
+    ``combine @ b2`` added at the end."""
+    from apertis_llm_tpu.ops.pallas.moe_grouped import TILE, expert_ffn_grouped
+    from apertis_llm_tpu.ops.pallas.quant_matmul import quantize_rows
+
+    s, h = x.shape
+    k = routing.indices.shape[1]
+    num_experts = expert_params["b2"].shape[0]
+    sk = s * k
+
+    # Shared un-affine LayerNorm + int8 quantize, ONCE per token (the
+    # affines live in W1/b1 — models/moe_fuse.py).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jnp.where(var > 0, jax.lax.rsqrt(var + layer_norm_eps), 0.0)
+    xq, xs = quantize_rows(xf - mean)
+    xs = xs * inv                                    # (S, 1)
+
+    flat_e = routing.indices.reshape(-1)             # (S*K) token-major
+    flat_w = routing.weights.reshape(-1).astype(jnp.float32)
+    if active_mask is not None:
+        flat_w = flat_w * active_mask[flat_e].astype(flat_w.dtype)
+
+    order = jnp.argsort(flat_e)                      # stable sort
+    tok = order // k
+    e_sorted = flat_e[order]
+    cnt = jnp.bincount(flat_e, length=num_experts)   # (E,)
+    cnt_pad = ((cnt + TILE - 1) // TILE) * TILE
+    off = jnp.cumsum(cnt) - cnt                      # exclusive, unpadded
+    off_pad = jnp.cumsum(cnt_pad) - cnt_pad          # exclusive, padded
+    rank = jnp.arange(sk) - off[e_sorted]            # rank within group
+    dest = off_pad[e_sorted] + rank                  # (S*K) padded slots
+
+    p = sk + num_experts * TILE                      # static row bound
+    n_tiles = p // TILE
+    # tile -> expert: the index of the padded group containing tile start.
+    emap = jnp.clip(
+        jnp.searchsorted(jnp.cumsum(cnt_pad),
+                         jnp.arange(n_tiles) * TILE, side="right"),
+        0, num_experts - 1).astype(jnp.int32)
+
+    xq_pad = jnp.zeros((p, h), jnp.int8).at[dest].set(xq[tok])
+    xs_pad = jnp.zeros((p, 1), jnp.float32).at[dest].set(xs[tok])
+
+    y_pad = expert_ffn_grouped(
+        xq_pad, xs_pad, emap, fat_stack["w1t_q"], fat_stack["w1t_s"],
+        fat_stack["b1t"], fat_stack["w2t_q"], fat_stack["w2t_s"],
+        num_experts, layer_idx, out_dtype=jnp.float32,
+        hidden_act=hidden_act)                       # (P, H)
+
+    y = y_pad[dest] * flat_w[order][:, None]         # (S*K, H)
+    combine = _combine_weights(routing, num_experts, jnp.float32,
+                               active_mask)
+    out = jnp.zeros((s, h), jnp.float32).at[tok].add(y)
+    out = out + combine @ expert_params["b2"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def moe_ragged(
     x: jnp.ndarray,            # (S, H)
     routing: RouterOutput,

@@ -344,3 +344,60 @@ def test_attach_idempotent_and_nonmoe_noop():
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     dense = init_params(jax.random.PRNGKey(1), dense_cfg)
     assert attach_fused_decode_params(dense) is dense
+
+
+def test_grouped_prefill_matches_dense():
+    """Grouped prefill kernel (ops/pallas/moe_grouped.py + moe_grouped_fat):
+    tile-padded expert-sorted dispatch on the SAME fat stack matches the
+    float dense path within the int8 band, at prefill-scale row counts
+    with uneven expert loads (layer-stacked weights, both layers)."""
+    from apertis_llm_tpu.models.moe_fuse import fuse_moe_decode_params_fat
+
+    e, h, i, s, layers = 4, 64, 256, 300, 2
+    experts = _expert_stack(20, e, h, i)
+    stacked = jax.tree.map(
+        lambda t: jnp.stack([t, t * 0.5]), experts)   # (L, E, ...)
+    fat = fuse_moe_decode_params_fat(stacked)
+    routing = _routing(21, s, e)
+    x = jnp.asarray(np.random.default_rng(22).normal(size=(s, h)),
+                    jnp.float32)
+    for li in range(layers):
+        lp = jax.tree.map(lambda t: t[li], stacked)
+        ref = moe_ops.moe_dense(x, routing, lp, "gelu", 1e-12)
+        got = moe_ops.moe_grouped_fat(
+            x, routing, {"b2": lp["b2"]}, "gelu", 1e-12, fat, li)
+        denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+        err = float(jnp.max(jnp.abs(got - ref))) / denom
+        assert err < 0.06, (li, err)
+
+
+def test_grouped_prefill_engine_parity():
+    """End-to-end MoE prefill through the engine: the grouped kernel path
+    (APERTIS_MOE_GROUPED=force) produces the same greedy tokens as the
+    ragged path on the same int8 tree."""
+    import os
+
+    from apertis_llm_tpu.inference.engine import InferenceEngine
+
+    cfg = ApertisConfig(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=8, intermediate_size=256,
+        attention_type="selective_ssm", ssm_d_state=16,
+        use_expert_system=True, num_experts=4, experts_per_token=2,
+        moe_dense_threshold_tokens=8,   # prompt rows take the prefill path
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=64)
+    params = quantize_params(init_params(jax.random.PRNGKey(3), cfg),
+                             min_size=0)
+    prompt = np.asarray([[3, 17, 29, 5, 9, 11, 2, 7]], np.int32)
+    outs = {}
+    for mode in ("force", "0"):
+        os.environ["APERTIS_MOE_GROUPED"] = mode
+        try:
+            eng = InferenceEngine(cfg, params)
+            outs[mode] = eng.generate(
+                prompt, max_new_tokens=6, eos_token_id=(), do_sample=False,
+                rng=jax.random.PRNGKey(0))[0].tolist()
+        finally:
+            del os.environ["APERTIS_MOE_GROUPED"]
+    assert outs["force"] == outs["0"], outs
