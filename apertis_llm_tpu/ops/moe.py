@@ -544,7 +544,16 @@ def moe_ragged(
     """
     s, h = x.shape
     k = routing.indices.shape[1]
-    int8 = _use_dyn_int8(expert_params, s * k)
+    # int8 ragged_dot is OPT-IN (APERTIS_QUANT_MATMUL=dyn): measured a
+    # 2,092 vs 1,713 ms TTFT REGRESSION at 1.5B-MoE b256 — the custom-call
+    # cannot fuse its dequant epilogue, so the int32 accumulators
+    # (1.3 GB/layer) round-trip HBM. The grouped Pallas kernel
+    # (moe_grouped_fat) is the int8 prefill path; this branch remains for
+    # measurement.
+    import os as _os
+
+    int8 = ("w1_q" in expert_params
+            and _os.environ.get("APERTIS_QUANT_MATMUL") == "dyn")
     if not int8:
         expert_params = _maybe_dequant_experts(expert_params, x.dtype)
     num_experts = expert_params["ln_w"].shape[0]
