@@ -1046,7 +1046,15 @@ def prefill(
         experts = layers.get("ffn", {}).get("experts", {})
         fat = experts.get("fat") if isinstance(experts, dict) else None
         if fat is not None and grouped_eligible(fat, config.num_experts):
-            fat_pre = fat
+            # Pre-shape the scale/bias stacks to the kernel's (L, 1, ·)
+            # operand forms HERE, outside the layer scan: reshapes inside
+            # the scan body feed a custom-call, and XLA materialises the
+            # (L, 1, E*I) f32 copies per iteration instead of hoisting.
+            nl = config.num_hidden_layers
+            fat_pre = dict(fat)
+            fat_pre["b1t"] = fat["b1t"].reshape(nl, 1, -1)
+            fat_pre["w1t_s"] = fat["w1t_s"].reshape(nl, 1, -1)
+            fat_pre["w2t_s"] = fat["w2t_s"].reshape(nl, 1, -1)
             layers = dict(layers)
             layers["ffn"] = dict(layers["ffn"])
             layers["ffn"]["experts"] = {

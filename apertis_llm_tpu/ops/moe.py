@@ -515,10 +515,10 @@ def moe_grouped_fat(
     y_pad = expert_ffn_grouped(
         xq_pad, xs_pad, emap, fat_stack["w1t_q"], fat_stack["w1t_s"],
         fat_stack["b1t"], fat_stack["w2t_q"], fat_stack["w2t_s"],
-        num_experts, layer_idx, out_dtype=jnp.float32,
-        hidden_act=hidden_act)                       # (P, H)
-
-    y = y_pad[dest] * flat_w[order][:, None]         # (S*K, H)
+        num_experts, layer_idx, out_dtype=jnp.bfloat16,
+        hidden_act=hidden_act)                       # (P, H) — bf16 halves
+                                                     # the 59 MB/layer write
+    y = y_pad[dest].astype(jnp.float32) * flat_w[order][:, None]
     combine = _combine_weights(routing, num_experts, jnp.float32,
                                active_mask)
     out = jnp.zeros((s, h), jnp.float32).at[tok].add(y)

@@ -96,6 +96,16 @@ def expert_ffn_grouped(
     n_tiles = p // TILE
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     emap = emap.astype(jnp.int32)
+    # Operands must arrive PRE-SHAPED (L, 1, ·): a reshape here would sit
+    # inside the caller's layer scan, and XLA materialises custom-call
+    # operand copies per iteration instead of hoisting them (xplane:
+    # ~0.7 s/TTFT of (44, 1, 22528) f32 slice-copies before this guard).
+    if b1t.ndim == 2:
+        b1t = b1t.reshape(nl, 1, ei)
+    if w1t_s.ndim == 2:
+        w1t_s = w1t_s.reshape(nl, 1, ei)
+    if w2t_s.ndim == 2:
+        w2t_s = w2t_s.reshape(nl, 1, h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -126,8 +136,7 @@ def expert_ffn_grouped(
         out_shape=jax.ShapeDtypeStruct((p, h), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(lidx, emap, xq, xs, w1t_q, w1t_s.reshape(nl, 1, ei),
-      b1t.reshape(nl, 1, ei), w2t_q, w2t_s.reshape(nl, 1, h))
+    )(lidx, emap, xq, xs, w1t_q, w1t_s, b1t, w2t_q, w2t_s)
 
 
 def grouped_eligible(fat_stack, num_experts: int) -> bool:
