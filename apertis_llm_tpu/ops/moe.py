@@ -491,15 +491,19 @@ def moe_grouped_fat(
     if active_mask is not None:
         flat_w = flat_w * active_mask[flat_e].astype(flat_w.dtype)
 
-    order = jnp.argsort(flat_e)                      # stable sort
-    tok = order // k
-    e_sorted = flat_e[order]
-    cnt = jnp.bincount(flat_e, length=num_experts)   # (E,)
+    # Counting-sort dispatch — NO argsort: with E small the rank of each
+    # (token, expert) pair within its expert group is a one-hot cumsum
+    # (xplane: XLA's 118k-row sort + the order-indirected gathers it
+    # forces were a measurable slice of the 44-layer prefill).
+    onehot = (flat_e[:, None] == jnp.arange(num_experts)[None, :]
+              ).astype(jnp.int32)                    # (S*K, E)
+    csum = jnp.cumsum(onehot, axis=0)
+    cnt = csum[-1]                                   # (E,)
+    rank = jnp.take_along_axis(csum - onehot, flat_e[:, None],
+                               axis=1)[:, 0]         # rank within group
     cnt_pad = ((cnt + TILE - 1) // TILE) * TILE
-    off = jnp.cumsum(cnt) - cnt                      # exclusive, unpadded
     off_pad = jnp.cumsum(cnt_pad) - cnt_pad          # exclusive, padded
-    rank = jnp.arange(sk) - off[e_sorted]            # rank within group
-    dest = off_pad[e_sorted] + rank                  # (S*K) padded slots
+    dest = off_pad[flat_e] + rank                    # (S*K) padded slots
 
     p = sk + num_experts * TILE                      # static row bound
     n_tiles = p // TILE
@@ -509,8 +513,12 @@ def moe_grouped_fat(
                          jnp.arange(n_tiles) * TILE, side="right"),
         0, num_experts - 1).astype(jnp.int32)
 
-    xq_pad = jnp.zeros((p, h), jnp.int8).at[dest].set(xq[tok])
-    xs_pad = jnp.zeros((p, 1), jnp.float32).at[dest].set(xs[tok])
+    # Token-major rows: row j reads token j // k — a contiguous repeat,
+    # not a data-dependent gather.
+    xq_rep = jnp.repeat(xq, k, axis=0)
+    xs_rep = jnp.repeat(xs, k, axis=0)
+    xq_pad = jnp.zeros((p, h), jnp.int8).at[dest].set(xq_rep)
+    xs_pad = jnp.zeros((p, 1), jnp.float32).at[dest].set(xs_rep)
 
     y_pad = expert_ffn_grouped(
         xq_pad, xs_pad, emap, fat_stack["w1t_q"], fat_stack["w1t_s"],
@@ -518,10 +526,11 @@ def moe_grouped_fat(
         num_experts, layer_idx, out_dtype=jnp.bfloat16,
         hidden_act=hidden_act)                       # (P, H) — bf16 halves
                                                      # the 59 MB/layer write
-    y = y_pad[dest].astype(jnp.float32) * flat_w[order][:, None]
+    y = y_pad[dest].astype(jnp.float32) * flat_w[:, None]   # token-major
     combine = _combine_weights(routing, num_experts, jnp.float32,
                                active_mask)
-    out = jnp.zeros((s, h), jnp.float32).at[tok].add(y)
+    # Token-major K-way sum: reshape instead of a scatter-add.
+    out = jnp.sum(y.reshape(s, k, h), axis=1)
     out = out + combine @ expert_params["b2"].astype(jnp.float32)
     return out.astype(x.dtype)
 
