@@ -327,5 +327,8 @@ def fused_eligible(w1: dict, w2: dict, rows: int) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
+    # 512 is the measured VMEM ceiling at the 1.5B shapes: the kernel
+    # keeps the (rows, H) x block AND an f32 (rows, H) accumulator
+    # resident, so 1024 x 2432 rows blew scoped VMEM (b1024 bench, r5).
     return on_tpu and rows <= int(os.environ.get(
-        "APERTIS_FFN_FUSED_MAX_ROWS", "1024"))
+        "APERTIS_FFN_FUSED_MAX_ROWS", "512"))
